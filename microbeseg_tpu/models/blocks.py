@@ -1,0 +1,130 @@
+"""Building blocks of the (D)U-Net, NHWC layout.
+
+Semantics follow reference src/utils/unets.py (ConvBlock :92-173,
+ConvPool :176-226, TranspConvBlock :229-264, Mish :81-89) but the
+implementation is TPU-idiomatic Flax: channels-last so XLA tiles convs onto
+the MXU, configurable compute dtype (bfloat16 by default) with float32 params,
+and BatchNorm that syncs across the data-parallel mesh automatically under
+sharded jit (the global batch mean is computed through XLA collectives).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def mish(x):
+    return x * jnp.tanh(nn.softplus(x))
+
+
+_ACTS: dict = {
+    "relu": nn.relu,
+    "leakyrelu": lambda x: nn.leaky_relu(x, negative_slope=0.01),
+    "elu": nn.elu,
+    "mish": mish,
+}
+
+
+def get_act(name: str) -> Callable:
+    try:
+        return _ACTS[name]
+    except KeyError:
+        raise ValueError(f"Unsupported activation function: {name}") from None
+
+
+class Norm(nn.Module):
+    """Normalization switch: 'bn' | 'gn' (8 groups) | 'in' (instance)."""
+
+    kind: str
+    dtype: jnp.dtype = jnp.bfloat16
+    axis_name: Optional[str] = None   # set when running under pmap/shard_map
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.kind == "bn":
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, param_dtype=jnp.float32,
+                axis_name=self.axis_name,
+            )(x)
+        if self.kind == "gn":
+            return nn.GroupNorm(num_groups=8, dtype=self.dtype,
+                                param_dtype=jnp.float32)(x)
+        if self.kind == "in":
+            # InstanceNorm == GroupNorm with one channel per group, no affine
+            # params (torch InstanceNorm2d default: affine=False).
+            return nn.GroupNorm(num_groups=None, group_size=1,
+                                use_bias=False, use_scale=False,
+                                dtype=self.dtype)(x)
+        raise ValueError(f"Unsupported normalization: {self.kind}")
+
+
+class ConvBlock(nn.Module):
+    """[conv3x3 -> act -> norm] x 2."""
+
+    features: int
+    act_fun: str = "relu"
+    normalization: str = "bn"
+    dtype: jnp.dtype = jnp.bfloat16
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        act = get_act(self.act_fun)
+        for i in range(2):
+            x = nn.Conv(self.features, kernel_size=(3, 3), strides=(1, 1),
+                        padding=((1, 1), (1, 1)), use_bias=True,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name=f"conv{i}")(x)
+            x = act(x)
+            x = Norm(self.normalization, dtype=self.dtype,
+                     axis_name=self.axis_name, name=f"norm{i}")(x, train=train)
+        return x
+
+
+class ConvPool(nn.Module):
+    """Strided-conv downsample: conv3x3 stride 2 -> act -> norm."""
+
+    features: int
+    act_fun: str = "relu"
+    normalization: str = "bn"
+    dtype: jnp.dtype = jnp.bfloat16
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, kernel_size=(3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)), use_bias=True,
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="conv")(x)
+        x = get_act(self.act_fun)(x)
+        x = Norm(self.normalization, dtype=self.dtype,
+                 axis_name=self.axis_name, name="norm")(x, train=train)
+        return x
+
+
+class TranspConvBlock(nn.Module):
+    """Upsample: transposed conv 2x2 stride 2 -> norm."""
+
+    features: int
+    normalization: str = "bn"
+    dtype: jnp.dtype = jnp.bfloat16
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.ConvTranspose(self.features, kernel_size=(2, 2), strides=(2, 2),
+                             padding="VALID", use_bias=True,
+                             dtype=self.dtype, param_dtype=jnp.float32,
+                             name="up")(x)
+        x = Norm(self.normalization, dtype=self.dtype,
+                 axis_name=self.axis_name, name="norm")(x, train=train)
+        return x
+
+
+def max_pool_2x2(x):
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))

@@ -1,0 +1,79 @@
+"""Checkpoint save/load: msgpack variables + JSON sidecar.
+
+Replaces the reference's ``torch.save(state_dict)`` + JSON sidecar pair
+(reference: src/training/train.py:502-515, src/utils/utils.py:94-107).
+Checkpoints are DataParallel-free by construction (params are a replicated
+pytree); the sidecar keeps the reference's key contract so models remain
+discoverable the same way (reference: src/inference/infer.py:83-86).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import serialization
+
+from microbeseg_tpu.config import (
+    ModelConfig,
+    TrainConfig,
+    read_sidecar,
+    train_config_from_sidecar,
+    write_sidecar,
+)
+from microbeseg_tpu.models.unet import build_unet
+
+CKPT_SUFFIX = ".ckpt"
+
+
+def save_checkpoint(variables: Dict[str, Any], path: Path) -> Path:
+    """Serialize model variables ({'params': ..., 'batch_stats': ...})."""
+    path = Path(path)
+    if path.suffix != CKPT_SUFFIX:
+        path = path.with_suffix(CKPT_SUFFIX)
+    # Pull to host before serializing.
+    variables = jax.device_get(variables)
+    path.write_bytes(serialization.to_bytes(variables))
+    return path
+
+
+def load_checkpoint(template: Dict[str, Any], path: Path) -> Dict[str, Any]:
+    """Load variables into the structure of ``template``."""
+    data = Path(path).read_bytes()
+    return serialization.from_bytes(template, data)
+
+
+def save_model(variables: Dict[str, Any], cfg: TrainConfig, path_models: Path,
+               extra: Optional[dict] = None) -> Path:
+    """Save checkpoint + sidecar under ``path_models / run_name``."""
+    path_models = Path(path_models)
+    path_models.mkdir(parents=True, exist_ok=True)
+    ckpt = save_checkpoint(variables, path_models / cfg.run_name)
+    write_sidecar(cfg, path_models, extra=extra)
+    return ckpt
+
+
+def load_model(model_path: Path,
+               dtype: jnp.dtype = jnp.bfloat16,
+               input_size: int = 64) -> Tuple[Any, Dict[str, Any], TrainConfig]:
+    """Load (model, variables, train_config) from a checkpoint path.
+
+    ``model_path`` may point at the ``.ckpt`` or be the stem; the JSON sidecar
+    must sit next to it (same contract as the reference's .pth + .json pair).
+    """
+    model_path = Path(model_path)
+    if model_path.suffix == CKPT_SUFFIX:
+        stem = model_path.with_suffix("")
+    else:
+        stem = model_path
+    sidecar = read_sidecar(stem.parent / f"{stem.name}.json")
+    cfg = train_config_from_sidecar(sidecar)
+    model = build_unet(cfg.model, dtype=dtype)
+    # Build a variable template with the right tree structure.
+    dummy = jnp.zeros((1, input_size, input_size, cfg.model.ch_in), jnp.float32)
+    template = model.init(jax.random.PRNGKey(0), dummy, train=False)
+    template = jax.device_get(template)
+    variables = load_checkpoint(dict(template), stem.with_suffix(CKPT_SUFFIX))
+    return model, variables, cfg

@@ -1,0 +1,96 @@
+"""Unit tests for host-side utilities (tiff I/O, normalization, padding)."""
+
+import numpy as np
+import pytest
+
+from microbeseg_tpu.utils import (
+    border_correction,
+    get_nucleus_ids,
+    imread,
+    imwrite,
+    min_max_normalization,
+    pad_bucket_shape,
+    zero_pad_model_input,
+)
+
+
+class TestTiff:
+    @pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.float32, np.int32])
+    def test_roundtrip_2d(self, tmp_path, rng, dtype):
+        if np.issubdtype(dtype, np.integer):
+            arr = rng.integers(0, np.iinfo(dtype).max, size=(37, 53)).astype(dtype)
+        else:
+            arr = rng.random((37, 53)).astype(dtype)
+        p = tmp_path / "x.tif"
+        imwrite(p, arr)
+        back = imread(p)
+        np.testing.assert_array_equal(back, arr)
+
+    def test_roundtrip_stack(self, tmp_path, rng):
+        arr = rng.integers(0, 65535, size=(4, 20, 30)).astype(np.uint16)
+        p = tmp_path / "stack.tif"
+        imwrite(p, arr)
+        back = imread(p)
+        assert back.shape == (4, 20, 30)
+        np.testing.assert_array_equal(back, arr)
+
+    def test_rgb_roundtrip(self, tmp_path, rng):
+        arr = rng.integers(0, 255, size=(16, 24, 3)).astype(np.uint8)
+        p = tmp_path / "rgb.tif"
+        imwrite(p, arr)
+        back = imread(p)
+        np.testing.assert_array_equal(back, arr)
+
+
+class TestNormalization:
+    def test_full_range(self):
+        img = np.array([[0, 65535]], dtype=np.uint16)
+        out = min_max_normalization(img, 0, 65535)
+        np.testing.assert_allclose(out, [[-1.0, 1.0]])
+
+    def test_clipping(self):
+        img = np.array([[0, 100, 200]], dtype=np.uint16)
+        out = min_max_normalization(img, 50, 150)
+        np.testing.assert_allclose(out, [[-1.0, 0.0, 1.0]])
+
+    def test_constant_image(self):
+        img = np.full((4, 4), 7, dtype=np.uint16)
+        out = min_max_normalization(img)
+        assert np.all(np.isfinite(out))
+
+
+class TestPadding:
+    def test_buckets(self):
+        assert pad_bucket_shape(60, 60) == (64, 64)
+        assert pad_bucket_shape(64, 65) == (64, 128)
+        assert pad_bucket_shape(300, 321) == (320, 512)
+        with pytest.raises(ValueError):
+            pad_bucket_shape(9000, 64)
+
+    def test_pad_positions(self, rng):
+        img = rng.integers(0, 100, size=(60, 70)).astype(np.uint16)
+        padded, pads = zero_pad_model_input(img)
+        assert padded.shape == (64, 128)
+        assert pads == [4, 58]
+        np.testing.assert_array_equal(padded[pads[0]:, pads[1]:], img)
+        assert padded[:pads[0], :].sum() == 0
+
+    def test_pad_stack(self, rng):
+        img = rng.integers(0, 100, size=(3, 60, 70)).astype(np.uint16)
+        padded, pads = zero_pad_model_input(img)
+        assert padded.shape == (3, 64, 128)
+        np.testing.assert_array_equal(padded[:, pads[0]:, pads[1]:], img)
+
+
+class TestBorderCorrection:
+    def test_drops_border_only_instances(self):
+        mask = np.zeros((40, 40), dtype=np.uint16)
+        mask[0:5, 0:5] = 1      # entirely in border strip -> dropped
+        mask[15:25, 15:25] = 2  # interior -> kept
+        mask[5:15, 5:15] = 3    # straddles -> kept (visible in FOI)
+        out = border_correction(mask.copy(), border_width=10)
+        assert set(np.unique(out)) == {0, 2, 3}
+
+    def test_ids(self):
+        mask = np.array([[0, 2], [5, 2]])
+        np.testing.assert_array_equal(get_nucleus_ids(mask), [2, 5])
