@@ -61,21 +61,25 @@ def pad_bucket_shape(h: int, w: int) -> Tuple[int, int]:
 def zero_pad_model_input(img: np.ndarray, pad_val: float = 0) -> Tuple[np.ndarray, List[int]]:
     """Pad up-left to the next bucket shape; returns (padded, [pad_y, pad_x]).
 
-    Matches reference semantics: pads are prepended (up/left), so the original
-    image sits at the bottom-right of the padded frame and is recovered with
-    ``padded[..., pad_y:, pad_x:]``.
+    Matches reference 2D semantics: pads are prepended (up/left), so the
+    original image sits at the bottom-right of the padded frame and is
+    recovered with ``padded[..., pad_y:, pad_x:]``.  Deviation from the
+    reference for stacks: a (T, H, W) stack pads H and W directly and returns
+    ``[pad_y, pad_x]`` in the same order as 2D (the reference transposes
+    through (W, H, T) and returns (pad_x, pad_y); reference:
+    src/utils/utils.py:140-159 — an inconsistency its own per-frame loops
+    never hit).
     """
     if img.ndim == 3:  # (T, H, W): time/z needs no pads
-        img = np.transpose(img, (2, 1, 0))
+        th, tw = pad_bucket_shape(img.shape[1], img.shape[2])
+        pads = [th - img.shape[1], tw - img.shape[2]]
+        img = np.pad(img, ((0, 0), (pads[0], 0), (pads[1], 0)),
+                     mode="constant", constant_values=pad_val)
+        return img, pads
     th, tw = pad_bucket_shape(img.shape[0], img.shape[1])
     pads = [th - img.shape[0], tw - img.shape[1]]
-    if img.ndim == 3:
-        img = np.pad(img, ((pads[0], 0), (pads[1], 0), (0, 0)),
-                     mode="constant", constant_values=pad_val)
-        img = np.transpose(img, (2, 1, 0))
-    else:
-        img = np.pad(img, ((pads[0], 0), (pads[1], 0)),
-                     mode="constant", constant_values=pad_val)
+    img = np.pad(img, ((pads[0], 0), (pads[1], 0)),
+                 mode="constant", constant_values=pad_val)
     return img, pads
 
 
