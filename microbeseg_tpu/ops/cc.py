@@ -1,0 +1,101 @@
+"""Connected-component labeling on device.
+
+TPU-native replacement for ``skimage.measure.label`` (reference:
+src/inference/postprocessing.py:38,54,85; src/evaluation/eval.py:261).
+Algorithm: each masked pixel starts with its linear index + 1; iterate
+  (a) one 3x3 (or cross) neighborhood max propagation, then
+  (b) two pointer-jump steps ``label[p] <- label[label[p]-1]``
+to a fixed point.  Pointer jumping gives union-find-style path compression, so
+convergence is O(log diameter) outer iterations instead of O(diameter) — the
+difference between ~10 and ~600 sweeps on a 320^2 image with snaking regions.
+
+Labels at the fixed point are per-component maxima of linear indices
+(arbitrary but deterministic); use ``relabel_sequential`` for compact ids.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from microbeseg_tpu.ops.morphology import generate_binary_structure
+
+
+def _neighbor_max(labels: jnp.ndarray, se: np.ndarray) -> jnp.ndarray:
+    kh, kw = se.shape
+    ph, pw = kh // 2, kw // 2
+    xp = jnp.pad(labels, ((ph, ph), (pw, pw)))
+    H, W = labels.shape
+    out = labels
+    for dy in range(kh):
+        for dx in range(kw):
+            if not se[dy, dx]:
+                continue
+            out = jnp.maximum(out, xp[dy:dy + H, dx:dx + W])
+    return out
+
+
+@partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+def connected_components(mask: jnp.ndarray, connectivity: int = 2,
+                         max_iters: int = 64) -> jnp.ndarray:
+    """Label connected regions of a boolean mask.
+
+    connectivity: 2 = 8-connected (skimage.measure.label default for 2D),
+    1 = 4-connected.  Returns int32 (H, W), 0 for background, arbitrary
+    positive ids per component.
+    """
+    mask = mask.astype(bool)
+    H, W = mask.shape
+    se = generate_binary_structure(2, connectivity)
+    idx = (jnp.arange(H * W, dtype=jnp.int32) + 1).reshape(H, W)
+    labels0 = jnp.where(mask, idx, 0)
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        labels, _, it = state
+        new = jnp.where(mask, _neighbor_max(labels, se), 0)
+        # pointer jumping: chase the stored index twice (path compression)
+        flat = new.reshape(-1)
+        for _ in range(2):
+            target = jnp.maximum(flat - 1, 0)
+            jumped = flat[target]
+            flat = jnp.where(flat > 0, jnp.maximum(flat, jumped), 0)
+        new = flat.reshape(H, W)
+        return new, jnp.any(new != labels), it + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels0, jnp.array(True), jnp.int32(0)))
+    return labels
+
+
+@partial(jax.jit, static_argnames=("max_labels",))
+def relabel_sequential(labels: jnp.ndarray, max_labels: int = 256) -> jnp.ndarray:
+    """Map arbitrary positive ids to 1..n (0 stays 0).
+
+    max_labels is a static capacity; components beyond it keep id 0 (callers
+    size it generously — microbe crops hold at most a few hundred instances).
+    """
+    sentinel = jnp.iinfo(jnp.int32).max
+    # fill with a max sentinel so the padded unique array stays sorted
+    # (jnp.unique appends fill values at the end).
+    uniq = jnp.unique(labels.astype(jnp.int32), size=max_labels + 1,
+                      fill_value=sentinel)
+    ranks = jnp.searchsorted(uniq, labels.astype(jnp.int32))
+    # rank of the smallest positive id must map to 1: subtract 1 if a
+    # background 0 occupies rank 0.
+    n_zero = jnp.sum(uniq == 0)
+    out = jnp.where(labels > 0, ranks - n_zero + 1, 0)
+    return out.astype(jnp.int32)
+
+
+def num_labels(labels: jnp.ndarray, max_labels: int = 256) -> jnp.ndarray:
+    sentinel = jnp.iinfo(jnp.int32).max
+    uniq = jnp.unique(labels.astype(jnp.int32), size=max_labels + 1,
+                      fill_value=sentinel)
+    return jnp.sum((uniq > 0) & (uniq < sentinel))

@@ -1,0 +1,75 @@
+"""Region properties via segment reductions.
+
+TPU-native replacement for the ``skimage.measure.regionprops`` calls
+(reference: src/training/train.py:76, postprocessing.py:41,81,
+train_data_representations.py:234,279,334, analysis.py:162): areas,
+centroids, equivalent diameter, major/minor axis lengths — computed for all
+instances at once with ``jax.ops.segment_sum`` over the label image instead
+of a per-instance Python loop.
+
+Labels must be consecutive 1..n (use ``relabel_sequential``); ``max_labels``
+is the static capacity.  Index i of each output corresponds to label i+1.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class RegionProps(NamedTuple):
+    area: jnp.ndarray                 # (N,) float32; 0 for absent labels
+    centroid: jnp.ndarray             # (N, 2) float32 (row, col)
+    equivalent_diameter: jnp.ndarray  # (N,) float32
+    major_axis_length: jnp.ndarray    # (N,) float32
+    minor_axis_length: jnp.ndarray    # (N,) float32
+
+
+@partial(jax.jit, static_argnames=("max_labels",))
+def regionprops(labels: jnp.ndarray, max_labels: int = 256) -> RegionProps:
+    H, W = labels.shape
+    seg = (labels.reshape(-1) - 1).astype(jnp.int32)  # background -> -1
+    seg = jnp.where(seg < 0, max_labels, seg)         # park background in slot N
+    ones = jnp.ones((H * W,), jnp.float32)
+    yy = jnp.repeat(jnp.arange(H, dtype=jnp.float32), W)
+    xx = jnp.tile(jnp.arange(W, dtype=jnp.float32), H)
+
+    n_seg = max_labels + 1
+    area = jax.ops.segment_sum(ones, seg, num_segments=n_seg)[:max_labels]
+    sy = jax.ops.segment_sum(yy, seg, num_segments=n_seg)[:max_labels]
+    sx = jax.ops.segment_sum(xx, seg, num_segments=n_seg)[:max_labels]
+    syy = jax.ops.segment_sum(yy * yy, seg, num_segments=n_seg)[:max_labels]
+    sxx = jax.ops.segment_sum(xx * xx, seg, num_segments=n_seg)[:max_labels]
+    sxy = jax.ops.segment_sum(xx * yy, seg, num_segments=n_seg)[:max_labels]
+
+    safe_area = jnp.maximum(area, 1.0)
+    cy = sy / safe_area
+    cx = sx / safe_area
+    centroid = jnp.stack([cy, cx], axis=-1)
+
+    # Central second moments normalized by area (skimage inertia-tensor
+    # convention: raw pixel-center moments, no pixel-extent correction).
+    mu20 = syy / safe_area - cy * cy
+    mu02 = sxx / safe_area - cx * cx
+    mu11 = sxy / safe_area - cy * cx
+
+    common = jnp.sqrt(jnp.maximum((mu20 - mu02) ** 2 + 4.0 * mu11 ** 2, 0.0))
+    l1 = (mu20 + mu02 + common) / 2.0
+    l2 = (mu20 + mu02 - common) / 2.0
+    major = 4.0 * jnp.sqrt(jnp.maximum(l1, 0.0))
+    minor = 4.0 * jnp.sqrt(jnp.maximum(l2, 0.0))
+
+    eq_diam = jnp.sqrt(4.0 * area / jnp.pi)
+
+    present = area > 0
+    z = jnp.float32(0.0)
+    return RegionProps(
+        area=jnp.where(present, area, z),
+        centroid=jnp.where(present[:, None], centroid, z),
+        equivalent_diameter=jnp.where(present, eq_diam, z),
+        major_axis_length=jnp.where(present, major, z),
+        minor_axis_length=jnp.where(present, minor, z),
+    )

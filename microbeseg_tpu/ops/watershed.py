@@ -1,0 +1,94 @@
+"""Marker-based watershed as bounded-iteration flooding on device.
+
+TPU-native replacement for ``skimage.segmentation.watershed`` (reference:
+src/inference/postprocessing.py:57,88).  True priority-flood is a sequential
+heap algorithm; here the priority ordering is approximated by quantizing the
+image into ``n_levels`` flood levels and propagating labels level by level —
+within a level, unlabeled pixels take the label of their lowest-valued labeled
+neighbor (4-connectivity, matching skimage's default ``connectivity=1``).
+A final fixed-point sweep labels any plateau leftovers.
+
+The whole flood is data-parallel (shifted-slice min/select ops), so it
+vmaps over the evaluation threshold grid and batches over frames.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.float32(3.0e38)
+
+_SHIFTS_4 = ((-1, 0), (1, 0), (0, -1), (0, 1))
+_SHIFTS_8 = _SHIFTS_4 + ((-1, -1), (-1, 1), (1, -1), (1, 1))
+
+
+def _shift(x: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
+    """Value of the neighbor at offset (dy, dx), `fill` outside the image."""
+    H, W = x.shape[-2], x.shape[-1]
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)],
+                 constant_values=fill)
+    return xp[..., 1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+
+
+def _flood_step(labels, value, active, shifts):
+    """One propagation step: unlabeled active pixels take the label of the
+    lowest-valued labeled active neighbor."""
+    best_v = jnp.full_like(value, _BIG)
+    best_l = jnp.zeros_like(labels)
+    for dy, dx in shifts:
+        nl = _shift(labels, dy, dx, 0)
+        nv = _shift(value, dy, dx, _BIG)
+        na = _shift(active, dy, dx, False)
+        cand_v = jnp.where((nl > 0) & na, nv, _BIG)
+        take = cand_v < best_v
+        best_v = jnp.where(take, cand_v, best_v)
+        best_l = jnp.where(take, nl, best_l)
+    grow = (labels == 0) & active & (best_v < _BIG)
+    return jnp.where(grow, best_l, labels)
+
+
+@partial(jax.jit, static_argnames=("n_levels", "inner_steps", "max_final_iters",
+                                   "connectivity"))
+def watershed(image: jnp.ndarray, markers: jnp.ndarray,
+              mask: jnp.ndarray, n_levels: int = 128, inner_steps: int = 2,
+              max_final_iters: int = 512, connectivity: int = 1) -> jnp.ndarray:
+    """Flood ``image`` (lower = flooded first) from ``markers`` within ``mask``.
+
+    image: float (H, W); markers: int (H, W) seed labels; mask: bool (H, W).
+    Returns int32 instance labels.
+    """
+    shifts = _SHIFTS_4 if connectivity == 1 else _SHIFTS_8
+    mask = mask.astype(bool)
+    image = image.astype(jnp.float32)
+    labels = jnp.where(mask, markers.astype(jnp.int32), 0)
+
+    vmin = jnp.min(jnp.where(mask, image, _BIG))
+    vmax = jnp.max(jnp.where(mask, image, -_BIG))
+    span = jnp.maximum(vmax - vmin, 1e-20)
+    q = jnp.clip(((image - vmin) / span * (n_levels - 1)).astype(jnp.int32),
+                 0, n_levels - 1)
+
+    def level_body(lvl, labels):
+        active = mask & (q <= lvl)
+        for _ in range(inner_steps):
+            labels = _flood_step(labels, image, active, shifts)
+        return labels
+
+    labels = jax.lax.fori_loop(0, n_levels, level_body, labels)
+
+    # Fixed-point cleanup over the full mask for plateau leftovers.
+    def cond(state):
+        labels, changed, it = state
+        return changed & (it < max_final_iters)
+
+    def body(state):
+        labels, _, it = state
+        new = _flood_step(labels, image, mask, shifts)
+        return new, jnp.any(new != labels), it + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels, jnp.array(True), jnp.int32(0)))
+    return labels
