@@ -1,0 +1,108 @@
+"""Golden-parity tests for label generation vs reference-algorithm oracles
+(SURVEY.md §4(b): distance_label parity is the core quality gate)."""
+
+import numpy as np
+import pytest
+
+from microbeseg_tpu.ops import labelgen
+from tests.conftest import synthetic_blobs
+from tests.oracles import (
+    border_label_oracle,
+    boundary_label_oracle,
+    distance_label_oracle,
+    regionprops_oracle,
+)
+
+
+def touching_pair(shape=(64, 64)):
+    """Two touching ellipses plus a separate disk, exercising borders + gaps."""
+    h, w = shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    m = np.zeros(shape, np.uint16)
+    m[((yy - 28) / 10.0) ** 2 + ((xx - 22) / 7.0) ** 2 <= 1] = 1
+    m[((yy - 28) / 10.0) ** 2 + ((xx - 37) / 7.0) ** 2 <= 1] = np.where(
+        m[((yy - 28) / 10.0) ** 2 + ((xx - 37) / 7.0) ** 2 <= 1] == 0, 2, 1)
+    m[(yy - 50) ** 2 + (xx - 50) ** 2 <= 36] = 3
+    return m
+
+
+def close_pair(shape=(64, 64), gap=2):
+    """Two disks separated by a small gap (bottom-hat closing territory)."""
+    h, w = shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    m = np.zeros(shape, np.uint16)
+    m[(yy - 32) ** 2 + (xx - 20) ** 2 <= 81] = 1
+    m[(yy - 32) ** 2 + (xx - 20 + 18 + gap) ** 2 <= 81] = 2
+    return m
+
+
+def _max_mal(mask):
+    props = regionprops_oracle(mask)
+    return int(np.ceil(max(p["major_axis_length"] for p in props)))
+
+
+class TestBoundaryBorder:
+    def test_boundary_label(self, rng):
+        mask = touching_pair()
+        ours = np.asarray(labelgen.boundary_label(mask.astype(np.int32)))
+        np.testing.assert_array_equal(ours, boundary_label_oracle(mask))
+
+    def test_border_label(self):
+        mask = touching_pair()
+        ours = np.asarray(labelgen.border_label(mask.astype(np.int32)))
+        np.testing.assert_array_equal(ours, border_label_oracle(mask))
+
+    def test_border_empty_when_no_touching(self, blobs):
+        # construct non-touching: erode-free synthetic disks rarely touch;
+        # just check types/range
+        ours = np.asarray(labelgen.border_label(blobs.astype(np.int32)))
+        assert ours.dtype == np.uint8
+        assert set(np.unique(ours)) <= {0, 1, 2}
+
+
+class TestDistanceLabel:
+    @pytest.mark.parametrize("maskgen", [touching_pair, close_pair])
+    def test_golden_parity(self, maskgen):
+        mask = maskgen()
+        max_mal = _max_mal(mask)
+        radius = int(np.ceil(0.75 * max_mal))
+        ref_cell, ref_nb = distance_label_oracle(mask, radius)
+        out = labelgen.get_label(mask, "distance", max_mal=max_mal)
+        cell, nb = out
+        np.testing.assert_allclose(cell, ref_cell, atol=2e-3)
+        np.testing.assert_allclose(nb, ref_nb, atol=2e-3)
+
+    def test_blobs_parity(self, blobs):
+        max_mal = _max_mal(blobs)
+        radius = int(np.ceil(0.75 * max_mal))
+        ref_cell, ref_nb = distance_label_oracle(blobs, radius)
+        cell, nb = labelgen.get_label(blobs, "distance", max_mal=max_mal)
+        np.testing.assert_allclose(cell, ref_cell, atol=2e-3)
+        np.testing.assert_allclose(nb, ref_nb, atol=2e-3)
+
+    def test_cell_dist_only(self):
+        mask = touching_pair()
+        max_mal = _max_mal(mask)
+        cell = labelgen.get_label(mask, "cell_dist", max_mal=max_mal)
+        ref_cell, _ = distance_label_oracle(mask, int(np.ceil(0.75 * max_mal)))
+        np.testing.assert_allclose(cell, ref_cell, atol=2e-3)
+
+    def test_max_major_axis_length(self):
+        mask = touching_pair()
+        assert labelgen.max_major_axis_length(mask) == _max_mal(mask)
+
+
+class TestOtherLabels:
+    def test_j4_runs(self):
+        mask = touching_pair()
+        out = np.asarray(labelgen.j4_label(mask.astype(np.int32)))
+        assert set(np.unique(out)) <= {0, 1, 2, 3}
+
+    def test_adapted_border_runs(self):
+        mask = touching_pair()
+        out = np.asarray(labelgen.adapted_border_label(mask.astype(np.int32)))
+        assert set(np.unique(out)) <= {0, 1, 2}
+
+    def test_dispatch_unknown(self):
+        with pytest.raises(ValueError):
+            labelgen.get_label(np.zeros((8, 8)), "nope")
