@@ -219,3 +219,34 @@ def distance_label_oracle(label, search_radius):
     label_nb = np.clip(label_nb, 0, 1)
     label_nb = ndimage.grey_closing(label_nb, size=(3, 3))
     return label_dist.astype(np.float32), label_nb.astype(np.float32)
+
+
+def distance_postprocessing_oracle(border_pred, cell_pred, th_seed, th_cell):
+    """Reference distance_postprocessing (postprocessing.py:7-59)."""
+    cell = ndimage.gaussian_filter(np.asarray(cell_pred, np.float32), 0.5)
+    border = np.clip(np.asarray(border_pred, np.float32), 0, 1)
+    mask = cell > th_cell
+    borders = np.tan(border ** 2)
+    borders[borders < 0.05] = 0
+    borders = np.clip(borders, 0, 1)
+    seeds = label_oracle((cell - borders) > th_seed)
+    areas = [p["area"] for p in regionprops_oracle(seeds)]
+    min_area = max(0.10 * np.mean(areas), 4) if areas else 4
+    for p in regionprops_oracle(seeds):
+        if p["area"] <= min_area:
+            seeds[seeds == p["label"]] = 0
+    seeds = label_oracle(seeds > 0)
+    return watershed_oracle(-cell, seeds, mask).astype(np.uint16)
+
+
+def boundary_postprocessing_oracle(prediction):
+    """Reference boundary_postprocessing (postprocessing.py:62-90)."""
+    prediction = np.asarray(prediction, np.float32)
+    pred_bin = np.argmax(prediction, axis=-1)
+    mask = pred_bin == 1
+    seeds = label_oracle((prediction[..., 1] * (1 - prediction[..., 2])) > 0.5)
+    for p in regionprops_oracle(seeds):
+        if p["area"] <= 4:
+            seeds[seeds == p["label"]] = 0
+    seeds = label_oracle(seeds > 0)
+    return watershed_oracle(-mask.astype(np.float64), seeds, mask).astype(np.uint16)

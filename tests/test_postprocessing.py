@@ -1,0 +1,74 @@
+"""Post-processing parity tests vs reference-algorithm oracles."""
+
+import numpy as np
+
+from microbeseg_tpu.ops.postprocessing import (
+    boundary_postprocessing,
+    distance_postprocessing,
+    distance_postprocessing_grid,
+)
+from tests.conftest import synthetic_blobs
+from tests.oracles import (
+    boundary_postprocessing_oracle,
+    distance_postprocessing_oracle,
+    distance_label_oracle,
+    masks_iou,
+    regionprops_oracle,
+)
+
+
+def _predictions(rng, shape=(96, 96), n_blobs=7):
+    """Clean cell/neighbor 'predictions' derived from a synthetic mask."""
+    mask = synthetic_blobs(rng, shape=shape, n_blobs=n_blobs)
+    props = regionprops_oracle(mask)
+    max_mal = int(np.ceil(max(p["major_axis_length"] for p in props)))
+    cell, nb = distance_label_oracle(mask, int(np.ceil(0.75 * max_mal)))
+    return mask, cell, nb
+
+
+class TestDistancePostprocessing:
+    def test_parity_with_oracle(self, rng):
+        mask, cell, nb = _predictions(rng)
+        ours = np.asarray(distance_postprocessing(nb, cell, 0.45, 0.10))
+        ref = distance_postprocessing_oracle(nb, cell, 0.45, 0.10)
+        np.testing.assert_array_equal(ours > 0, ref > 0)
+        assert len(np.unique(ours)) == len(np.unique(ref))
+        assert masks_iou(ours, ref) > 0.99
+
+    def test_instance_count_matches_gt(self, rng):
+        mask, cell, nb = _predictions(rng)
+        ours = np.asarray(distance_postprocessing(nb, cell, 0.45, 0.10))
+        n_gt = len(np.unique(mask)) - 1
+        n_pred = len(np.unique(ours)) - 1
+        assert n_pred == n_gt
+
+    def test_threshold_grid(self, rng):
+        mask, cell, nb = _predictions(rng, shape=(64, 64), n_blobs=4)
+        ths = [(c, s) for c in (0.05, 0.10) for s in (0.35, 0.45)]
+        grid = np.asarray(distance_postprocessing_grid(nb, cell, np.array(ths)))
+        assert grid.shape == (4, 64, 64)
+        for (tc, ts), g in zip(ths, grid):
+            single = np.asarray(distance_postprocessing(nb, cell, ts, tc))
+            np.testing.assert_array_equal(g, single)
+
+    def test_empty_prediction(self):
+        z = np.zeros((32, 32), np.float32)
+        ours = np.asarray(distance_postprocessing(z, z, 0.45, 0.10))
+        assert ours.sum() == 0
+
+
+class TestBoundaryPostprocessing:
+    def test_parity_with_oracle(self, rng):
+        mask = synthetic_blobs(rng, shape=(64, 64), n_blobs=5)
+        # fabricate softmax-like maps: interior=cell, ring=boundary
+        from scipy import ndimage as ndi
+        interior = ndi.binary_erosion(mask > 0, np.ones((3, 3)))
+        ring = (mask > 0) & ~interior
+        pred = np.zeros((64, 64, 3), np.float32)
+        pred[..., 1] = np.where(interior, 0.9, np.where(ring, 0.3, 0.05))
+        pred[..., 2] = np.where(ring, 0.6, 0.05)
+        pred[..., 0] = 1 - pred[..., 1] - pred[..., 2]
+        ours = np.asarray(boundary_postprocessing(pred))
+        ref = boundary_postprocessing_oracle(pred)
+        np.testing.assert_array_equal(ours > 0, ref > 0)
+        assert masks_iou(ours, ref) > 0.99
