@@ -1,0 +1,230 @@
+"""Model evaluation: threshold-grid inference + AJI+ scoring.
+
+Re-hosts the reference EvalWorker protocol (src/evaluation/eval.py:28-427)
+on the TPU engine:
+
+- per test image, the whole th_cell x th_seed grid (reference :127-131) is
+  post-processed in one vmapped device call (8 parallel floods) instead of 8
+  sequential CPU watersheds (:397-422);
+- per-threshold mask directories, best-threshold selection, ``scores.csv``,
+  the aggregated ``{trainset}.csv`` with stale-test-set eviction by sha1 hash
+  (:177-192, :289), and the test-set zip snapshot (:166-172) keep the
+  reference's artifact contract byte-for-byte in layout.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import zipfile
+from itertools import product
+from pathlib import Path
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from microbeseg_tpu.config import EvalConfig
+from microbeseg_tpu.evaluation.metrics import get_fast_aji_plus, remap_label
+from microbeseg_tpu.inference.engine import InferenceEngine
+from microbeseg_tpu.ops.postprocessing import boundary_postprocessing
+from microbeseg_tpu.utils.image import border_correction
+from microbeseg_tpu.utils.tiff import imread, imwrite
+
+
+def _noop(*a, **k):
+    pass
+
+
+class Evaluator:
+    def __init__(self, cfg: Optional[EvalConfig] = None,
+                 text_output: Callable[[str], None] = _noop,
+                 progress: Callable[[int], None] = _noop,
+                 should_stop: Callable[[], bool] = lambda: False,
+                 mesh=None):
+        self.cfg = cfg or EvalConfig()
+        self.text_output = text_output
+        self.progress = progress
+        self.should_stop = should_stop
+        self.mesh = mesh
+
+    # ------------------------------------------------------------------
+
+    def evaluate(self, path_data: Path, path_results: Path,
+                 models: Sequence[Path], start_message: str = "") -> Optional[pd.DataFrame]:
+        """Evaluate checkpoints on ``{path_data}/test``; returns the
+        aggregated scores dataframe (None if aborted)."""
+        path_data = Path(path_data)
+        path_results = Path(path_results)
+        test_masks = sorted((path_data / "test").glob("mask*.tif"))
+        if len(test_masks) < 2:
+            self.text_output("Not enough test images found. At least 2 are "
+                             "needed (better more)")
+            return None
+        self.text_output(start_message)
+
+        scores = {"model": [], "th_cell": [], "th_seed": [],
+                  "aji+ (mean)": [], "aji+ (std)": [], "test set version": []}
+
+        for i, model_path in enumerate(models):
+            model_path = Path(model_path)
+            out_dir = path_results / f"{model_path.parent.stem}_{model_path.stem}"
+            if out_dir.is_dir():
+                shutil.rmtree(out_dir)
+            out_dir.mkdir(parents=True)
+
+            if self.should_stop():
+                self.text_output("Stop evaluation due to user interaction.")
+                return None
+
+            engine = InferenceEngine.from_checkpoint(model_path, mesh=self.mesh)
+            label_type = engine.label_type
+
+            if label_type == "distance":
+                ths = list(product(self.cfg.th_cells, self.cfg.th_seeds))
+            else:
+                ths = [-1]
+
+            self._inference(engine, path_data / "test", ths, out_dir)
+            result = self._calc_scores(out_dir, path_data / "test", label_type)
+            if result is None:
+                return None
+            score, std, th_cell, th_seed, version = result
+            scores["model"].append(f"{model_path.parent.stem}: {model_path.stem}")
+            scores["th_cell"].append(th_cell)
+            scores["th_seed"].append(th_seed)
+            scores["aji+ (mean)"].append(score)
+            scores["aji+ (std)"].append(std)
+            scores["test set version"].append(version)
+
+            self._zip_test_set(path_data, out_dir)
+            self.progress(int(100 * (i + 1) / len(models)))
+
+        df = pd.DataFrame(scores)
+        agg_path = path_results.parent / f"{path_results.stem}.csv"
+        if agg_path.is_file() and len(df) > 0:
+            old = pd.read_csv(agg_path)
+            # evict scores from a different (stale) test-set version
+            old = old[old["test set version"] == df.iloc[0]["test set version"]]
+            df = pd.concat([df, old], ignore_index=True)
+            df = df.drop_duplicates("model")
+        df = df.sort_values(by=["model"])
+        df.to_csv(agg_path, header=True, index=False)
+        self.progress(100)
+        return df
+
+    # ------------------------------------------------------------------
+
+    def _inference(self, engine: InferenceEngine, test_dir: Path,
+                   ths, out_dir: Path) -> None:
+        img_paths = sorted(test_dir.glob("img*.tif"))
+        for p in img_paths:
+            if self.should_stop():
+                return
+            file_id = p.stem.split("img")[-1]
+            img = imread(p)
+            if engine.label_type == "distance":
+                preds = engine.predict_raw(img[None])
+                border, cell = preds[0][0], preds[1][0]
+                grid = engine.segment_grid(img, np.asarray(ths, np.float32)) \
+                    if False else None
+                # one vmapped device call for the whole grid
+                from microbeseg_tpu.ops.postprocessing import (
+                    distance_postprocessing_grid)
+                import jax.numpy as jnp
+                masks = np.asarray(distance_postprocessing_grid(
+                    jnp.asarray(border), jnp.asarray(cell),
+                    np.asarray(ths, np.float32)))
+                for (th_cell, th_seed), mask in zip(ths, masks):
+                    sub = out_dir / f"{th_cell}_{th_seed}"
+                    sub.mkdir(exist_ok=True)
+                    imwrite(sub / f"mask{file_id}.tif", mask.astype(np.uint16))
+                    if self.cfg.save_raw_pred:
+                        raw = np.stack([cell, border])
+                        imwrite(sub / f"raw{file_id}.tif",
+                                raw.astype(np.float32))
+            else:
+                (probs,) = engine.predict_raw(img[None])
+                import jax.numpy as jnp
+                mask = np.asarray(boundary_postprocessing(jnp.asarray(probs[0])))
+                imwrite(out_dir / f"mask{file_id}.tif", mask.astype(np.uint16))
+                if self.cfg.save_raw_pred:
+                    imwrite(out_dir / f"raw{file_id}.tif",
+                            probs[0].astype(np.float32))
+
+    # ------------------------------------------------------------------
+
+    def _score_dir(self, pred_dir: Path, gt_dir: Path):
+        names, vals = [], []
+        for pred_id in sorted(pred_dir.glob("mask*.tif")):
+            if self.should_stop():
+                self.text_output("Stop metric calculation.")
+                return None
+            prediction = imread(pred_id)
+            ground_truth = imread(gt_dir / pred_id.name)
+            prediction = border_correction(prediction, self.cfg.border_width)
+            ground_truth = border_correction(ground_truth, self.cfg.border_width)
+            if prediction.max() > 0:
+                aji = get_fast_aji_plus(remap_label(ground_truth),
+                                        remap_label(prediction))
+            else:
+                aji = 0.0
+            names.append(pred_id.stem)
+            vals.append(aji)
+        return names, vals
+
+    def _calc_scores(self, prediction_path: Path, test_set_path: Path,
+                     label_type: str):
+        if label_type == "distance":
+            best = (0.0, 0.0, 0.0, 0.0, None, None, None)
+            for sub_dir in sorted(prediction_path.iterdir()):
+                if not sub_dir.is_dir():
+                    continue
+                res = self._score_dir(sub_dir, test_set_path)
+                if res is None:
+                    return None
+                names, vals = res
+                mean, std = float(np.mean(vals)), float(np.std(vals))
+                if mean > best[0] or best[4] is None:
+                    th_cell = float(sub_dir.name.split("_")[0])
+                    th_seed = float(sub_dir.name.split("_")[-1])
+                    best = (mean, std, th_cell, th_seed, sub_dir.name,
+                            names, vals)
+            # keep only the best-threshold masks at the top level
+            for sub_dir in sorted(prediction_path.iterdir()):
+                if not sub_dir.is_dir():
+                    continue
+                if sub_dir.name == best[4]:
+                    for f in sub_dir.glob("*"):
+                        shutil.move(str(f), str(prediction_path / f.name))
+                shutil.rmtree(sub_dir)
+            names, vals = best[5], best[6]
+            df = pd.DataFrame({"test image": names, "aji+": vals})
+            df = df.sort_values(by=["test image"])
+            df.to_csv(prediction_path / "scores.csv", header=True, index=False)
+            version = hashlib.sha1(str(names).encode("UTF-8")).hexdigest()[:10]
+            return best[0], best[1], best[2], best[3], version
+
+        res = self._score_dir(prediction_path, test_set_path)
+        if res is None:
+            return None
+        names, vals = res
+        df = pd.DataFrame({"test image": names, "aji+": vals})
+        df = df.sort_values(by=["test image"])
+        df.to_csv(prediction_path / "scores.csv", header=True, index=False)
+        version = hashlib.sha1(str(names).encode("UTF-8")).hexdigest()[:10]
+        return float(np.mean(vals)), float(np.std(vals)), -1, -1, version
+
+    # ------------------------------------------------------------------
+
+    def _zip_test_set(self, path_data: Path, out_dir: Path) -> None:
+        with zipfile.ZipFile(out_dir / "test_set.zip", "w") as z:
+            z.write(path_data, arcname=path_data.stem,
+                    compress_type=zipfile.ZIP_DEFLATED)
+            z.write(path_data / "test",
+                    arcname=os.path.join(path_data.stem, "test"),
+                    compress_type=zipfile.ZIP_DEFLATED)
+            for f in (path_data / "test").glob("*"):
+                z.write(f, arcname=os.path.join(path_data.stem, "test", f.name),
+                        compress_type=zipfile.ZIP_DEFLATED)

@@ -1,0 +1,225 @@
+"""Inference engine: batched, fused forward + post-processing on device.
+
+Re-design of the reference inference path (src/inference/infer.py:328-376,
+infer_script_local.py:117-161): the reference loops frames at batch size 1,
+pulls raw predictions to the host, and runs CPU watershed per frame.  Here:
+
+- frames/crops are batched along the leading axis and sharded over the
+  'data' mesh axis when a multi-device mesh is provided;
+- pad -> normalize -> forward -> de-pad -> post-process is one jit per pad
+  bucket (static pad sizes come from the bucket table, so a handful of
+  executables cover every input size);
+- images larger than the bucket table stream through sliding-window tiling
+  with feathered stitching (tiling.py) — the reference raises instead.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from microbeseg_tpu.config import InferConfig, PAD_BUCKETS
+from microbeseg_tpu.inference.tiling import extract_tiles, stitch_predictions
+from microbeseg_tpu.models.io import load_model
+from microbeseg_tpu.ops.augment import clahe
+from microbeseg_tpu.ops.postprocessing import (
+    boundary_postprocessing,
+    distance_postprocessing,
+    distance_postprocessing_grid,
+)
+from microbeseg_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from microbeseg_tpu.utils.image import min_max_normalization, pad_bucket_shape
+
+
+class InferenceEngine:
+    """Runs a trained (D)U-Net on 2D frames / 2D+t stacks."""
+
+    def __init__(self, model, variables, label_type: str = "distance",
+                 cfg: Optional[InferConfig] = None, mesh=None,
+                 max_seeds: int = 256):
+        self.model = model
+        self.variables = variables
+        self.label_type = label_type
+        self.cfg = cfg or InferConfig()
+        self.mesh = mesh
+        self.max_seeds = max_seeds
+        self._forward_cache: Dict = {}
+
+    @classmethod
+    def from_checkpoint(cls, model_path: Path, cfg: Optional[InferConfig] = None,
+                        mesh=None) -> "InferenceEngine":
+        model, variables, train_cfg = load_model(model_path)
+        return cls(model, variables, train_cfg.label_type, cfg=cfg, mesh=mesh)
+
+    # ------------------------------------------------------------------
+
+    def _forward_fn(self, pad_y: int, pad_x: int):
+        """Jitted pad-cropping forward pass for one pad bucket."""
+        key = (pad_y, pad_x)
+        if key in self._forward_cache:
+            return self._forward_cache[key]
+
+        model, variables = self.model, self.variables
+        label_type = self.label_type
+
+        def forward(images):
+            # images: (B, Hb, Wb, 1) float32 already normalized to [-1, 1]
+            preds = model.apply(variables, images, train=False)
+            if label_type == "distance":
+                border, cell = preds
+                return (border[:, pad_y:, pad_x:, 0],
+                        cell[:, pad_y:, pad_x:, 0])
+            probs = jax.nn.softmax(preds, axis=-1)
+            return probs[:, pad_y:, pad_x:, :]
+
+        if self.mesh is not None:
+            bsh = batch_sharding(self.mesh)
+            fn = jax.jit(forward, in_shardings=bsh)
+        else:
+            fn = jax.jit(forward)
+        self._forward_cache[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+
+    def _normalize_batch(self, frames: np.ndarray) -> np.ndarray:
+        """Per-frame min/max normalization to [-1, 1] (reference
+        infer.py:253,346), optional CLAHE pre-enhancement."""
+        out = np.empty(frames.shape, np.float32)
+        for i, f in enumerate(frames):
+            if self.cfg.apply_clahe:
+                f01 = np.asarray(f, np.float32)
+                fmin, fmax = f01.min(), f01.max()
+                f01 = (f01 - fmin) / max(fmax - fmin, 1e-7)
+                f = np.asarray(clahe(jnp.asarray(f01))) * 65535.0
+            out[i] = min_max_normalization(f)
+        return out
+
+    def predict_raw(self, frames: np.ndarray) -> Tuple[np.ndarray, ...]:
+        """CNN predictions for a (T, H, W) stack (or (1, H, W) single frame).
+
+        Returns de-padded predictions: distance -> (border, cell) each
+        (T, H, W); boundary -> (T, H, W, 3) softmax.
+        """
+        frames = np.asarray(frames)
+        if frames.ndim == 2:
+            frames = frames[None]
+        T, H, W = frames.shape
+        try:
+            th, tw = pad_bucket_shape(H, W)
+            tiled = False
+        except ValueError:
+            tiled = True
+        if tiled or (self.cfg.use_tiling and
+                     max(H, W) > self.cfg.tile_size):
+            return self._predict_tiled(frames)
+
+        pad_y, pad_x = th - H, tw - W
+        norm = self._normalize_batch(frames)
+        padded = np.pad(norm, ((0, 0), (pad_y, 0), (pad_x, 0)),
+                        constant_values=0)
+        fwd = self._forward_fn(pad_y, pad_x)
+
+        outs = []
+        bs = self.cfg.batch_size
+        n_pad = (-T) % bs
+        padded = np.concatenate(
+            [padded, np.zeros((n_pad, th, tw), np.float32)]) if n_pad else padded
+        for s in range(0, padded.shape[0], bs):
+            chunk = jnp.asarray(padded[s:s + bs][..., None])
+            outs.append(jax.device_get(fwd(chunk)))
+        if self.label_type == "distance":
+            border = np.concatenate([o[0] for o in outs])[:T]
+            cell = np.concatenate([o[1] for o in outs])[:T]
+            return border, cell
+        probs = np.concatenate(outs)[:T]
+        return (probs,)
+
+    def _predict_tiled(self, frames: np.ndarray) -> Tuple[np.ndarray, ...]:
+        """Sliding-window path for images beyond the pad-bucket table."""
+        tile = self.cfg.tile_size
+        overlap = self.cfg.tile_overlap
+        T, H, W = frames.shape
+        if min(H, W) < tile:
+            raise ValueError(
+                f"image {H}x{W} smaller than tile {tile}; shrink tile_size")
+        fwd = self._forward_fn(0, 0)
+        bs = self.cfg.batch_size
+
+        if self.label_type == "distance":
+            borders = np.empty((T, H, W), np.float32)
+            cells = np.empty((T, H, W), np.float32)
+        else:
+            probs_out = np.empty((T, H, W, 3), np.float32)
+
+        for t in range(T):
+            norm = self._normalize_batch(frames[t:t + 1])[0]
+            tiles, pos = extract_tiles(norm, tile, overlap)
+            n = tiles.shape[0]
+            n_pad = (-n) % bs
+            if n_pad:
+                tiles = np.concatenate(
+                    [tiles, np.zeros((n_pad, tile, tile), np.float32)])
+            preds = []
+            for s in range(0, tiles.shape[0], bs):
+                chunk = jnp.asarray(tiles[s:s + bs][..., None])
+                preds.append(jax.device_get(fwd(chunk)))
+            if self.label_type == "distance":
+                border_t = np.concatenate([p[0] for p in preds])[:n]
+                cell_t = np.concatenate([p[1] for p in preds])[:n]
+                borders[t] = stitch_predictions(border_t, pos, (H, W))
+                cells[t] = stitch_predictions(cell_t, pos, (H, W))
+            else:
+                probs_t = np.concatenate(preds)[:n]
+                for c in range(3):
+                    probs_out[t, ..., c] = stitch_predictions(
+                        probs_t[..., c], pos, (H, W))
+        if self.label_type == "distance":
+            return borders, cells
+        return (probs_out,)
+
+    # ------------------------------------------------------------------
+
+    def segment(self, frames: np.ndarray,
+                th_cell: Optional[float] = None,
+                th_seed: Optional[float] = None) -> np.ndarray:
+        """Full pipeline: (T, H, W) raw frames -> (T, H, W) uint16 instances."""
+        frames = np.asarray(frames)
+        squeeze = frames.ndim == 2
+        if squeeze:
+            frames = frames[None]
+        th_cell = self.cfg.th_cell if th_cell is None else th_cell
+        th_seed = self.cfg.th_seed if th_seed is None else th_seed
+
+        preds = self.predict_raw(frames)
+        masks = np.empty(frames.shape, np.uint16)
+        if self.label_type == "distance":
+            border, cell = preds
+            post = jax.jit(jax.vmap(partial(
+                distance_postprocessing,
+                max_seeds=self.max_seeds)), static_argnums=())
+            for t in range(frames.shape[0]):
+                masks[t] = np.asarray(distance_postprocessing(
+                    jnp.asarray(border[t]), jnp.asarray(cell[t]),
+                    th_seed, th_cell, max_seeds=self.max_seeds))
+        else:
+            (probs,) = preds
+            for t in range(frames.shape[0]):
+                masks[t] = np.asarray(boundary_postprocessing(
+                    jnp.asarray(probs[t]), max_seeds=self.max_seeds))
+        return masks[0] if squeeze else masks
+
+    def segment_grid(self, frame: np.ndarray,
+                     th_pairs) -> np.ndarray:
+        """Threshold-grid segmentation of one frame: (n, H, W) uint16
+        (device-parallel over the grid; used by evaluation)."""
+        preds = self.predict_raw(frame[None])
+        border, cell = preds
+        return np.asarray(distance_postprocessing_grid(
+            jnp.asarray(border[0]), jnp.asarray(cell[0]),
+            jnp.asarray(th_pairs, jnp.float32), max_seeds=self.max_seeds))

@@ -1,0 +1,252 @@
+"""On-device training augmentation with splittable jax.random keys.
+
+TPU-native re-design of reference src/training/mytransforms.py: the reference
+runs imgaug/skimage augmentation in DataLoader worker processes
+(train.py:356-371); here the whole pipeline is jit/vmap-compiled and runs on
+device inside the train step, so the input pipeline is just an index gather.
+
+Pipeline and probabilities match the reference train Compose (:24-32):
+  Flip(p=1.0, 8-way D4) -> Contrast(p=0.45: CLAHE | percentile stretch |
+  contrast+gamma) -> Scaling(p=0.25, per-axis U(0.85, 1.15)) ->
+  Rotate(p=0.25, U(-45, 45) deg) -> Blur(p=0.3, sigma U(1,2)) ->
+  Noise(p=0.3, sigma 1-5% of max) -> normalize to [-1, 1].
+
+Determinism: one PRNG key per sample, split per stage (SURVEY.md §7 hard part
+5 — the reference relies on global Python RNG in worker processes, which is
+not reproducible across worker scheduling; this is strictly better).
+Distributional parity notes: geometric transforms use order-1 (order-0 for
+integer labels) resampling like imgaug's defaults; CLAHE is a faithful
+tile-histogram implementation of skimage.exposure.equalize_adapthist's
+algorithm (uniform excess redistribution in one pass).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from microbeseg_tpu.ops.filters import gaussian_blur_dynamic
+
+UINT16_MAX = 65535.0
+
+
+# ---------------------------------------------------------------------------
+# D4 flip (reference Flip :129-230)
+# ---------------------------------------------------------------------------
+
+_D4 = jnp.array([  # h -> (flip_ud, flip_lr, transpose); y = T(F(x))
+    [0, 0, 0],  # identity
+    [0, 1, 0],  # fliplr
+    [1, 0, 0],  # flipud
+    [0, 1, 1],  # rot90
+    [1, 1, 0],  # rot180
+    [1, 0, 1],  # rot270
+    [0, 0, 1],  # fliplr + rot90 == transpose
+    [1, 1, 1],  # flipud + rot90 == anti-transpose
+], dtype=jnp.int32)
+
+
+def _d4(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """Apply the h-th D4 element to a square (H, W, C) array."""
+    fy, fx, t = _D4[h, 0], _D4[h, 1], _D4[h, 2]
+    x = jnp.where(fy > 0, x[::-1, :, :], x)
+    x = jnp.where(fx > 0, x[:, ::-1, :], x)
+    xt = jnp.transpose(x, (1, 0, 2))
+    return jnp.where(t > 0, xt, x)
+
+
+# ---------------------------------------------------------------------------
+# CLAHE (reference Contrast h==0 via skimage.equalize_adapthist :92-93)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("grid", "nbins", "clip_limit"))
+def clahe(img01: jnp.ndarray, clip_limit: float = 0.01, grid: int = 8,
+          nbins: int = 256) -> jnp.ndarray:
+    """Contrast-limited adaptive histogram equalization of a [0,1] image.
+
+    (H, W) input, H and W divisible by `grid` (crop sizes are).  Per-tile
+    clipped histogram -> cdf, bilinear interpolation between tile mappings.
+    """
+    H, W = img01.shape
+    th, tw = H // grid, W // grid
+    b = jnp.clip((img01 * nbins).astype(jnp.int32), 0, nbins - 1)
+
+    tiles = b.reshape(grid, th, grid, tw).transpose(0, 2, 1, 3)
+    onehot = jax.nn.one_hot(tiles.reshape(grid, grid, -1), nbins,
+                            dtype=jnp.float32)
+    hist = jnp.sum(onehot, axis=2)                     # (grid, grid, nbins)
+
+    limit = jnp.maximum(clip_limit * th * tw, 1.0)
+    excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=-1, keepdims=True)
+    hist = jnp.minimum(hist, limit) + excess / nbins
+
+    cdf = jnp.cumsum(hist, axis=-1)
+    cdf = cdf / cdf[..., -1:]                          # (grid, grid, nbins)
+
+    # bilinear interpolation between tile-center mappings
+    yy = (jnp.arange(H, dtype=jnp.float32) + 0.5) / th - 0.5
+    xx = (jnp.arange(W, dtype=jnp.float32) + 0.5) / tw - 0.5
+    y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, grid - 1)
+    x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, grid - 1)
+    y1 = jnp.clip(y0 + 1, 0, grid - 1)
+    x1 = jnp.clip(x0 + 1, 0, grid - 1)
+    wy = jnp.clip(yy - y0, 0.0, 1.0)[:, None]
+    wx = jnp.clip(xx - x0, 0.0, 1.0)[None, :]
+
+    def look(ty, tx):
+        return cdf[ty[:, None], tx[None, :], b]
+
+    v00 = look(y0, x0)
+    v01 = look(y0, x1)
+    v10 = look(y1, x0)
+    v11 = look(y1, x1)
+    out = ((1 - wy) * ((1 - wx) * v00 + wx * v01)
+           + wy * ((1 - wx) * v10 + wx * v11))
+    return jnp.clip(out, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Contrast family (reference Contrast :65-126)
+# ---------------------------------------------------------------------------
+
+def _contrast(key, img):
+    """img: (H, W, 1) float32 in [0, 65535]."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    h = jax.random.randint(k1, (), 0, 3)
+
+    def clahe_branch(img):
+        out = clahe(img[..., 0] / UINT16_MAX, clip_limit=0.01)
+        return (out * UINT16_MAX)[..., None]
+
+    def stretch_branch(img):
+        lo_hi = jax.random.randint(k2, (), 0, 2)
+        p_lo = jnp.where(lo_hi == 0, 0.2, 0.1)
+        p_hi = jnp.where(lo_hi == 0, 99.8, 99.9)
+        flat = img.reshape(-1)
+        p0 = jnp.percentile(flat, p_lo)
+        p1 = jnp.percentile(flat, p_hi)
+        out = jnp.clip((img - p0) / jnp.maximum(p1 - p0, 1e-7), 0.0, 1.0)
+        return out * UINT16_MAX
+
+    def gamma_branch(img):
+        x = img / UINT16_MAX
+        kf, kg = jax.random.split(k3)
+        factor = jax.random.uniform(kf, (), minval=0.75, maxval=1.25)
+        x = (x - x.mean()) * factor + x.mean()
+        gamma = jax.random.uniform(kg, (), minval=0.7, maxval=1.3)
+        rnge = x.max() - x.min()
+        x = jnp.power(jnp.clip((x - x.min()) / (rnge + 1e-7), 0.0, 1.0),
+                      gamma) * rnge + x.min()
+        return jnp.clip(x, 0.0, 1.0) * UINT16_MAX
+
+    return jax.lax.switch(h, [clahe_branch, stretch_branch, gamma_branch], img)
+
+
+# ---------------------------------------------------------------------------
+# Geometry: combined scale + rotate resample (reference Scaling :315-362,
+# Rotate :264-312 — sequential affines collapsed into one resample)
+# ---------------------------------------------------------------------------
+
+def _affine_resample(x: jnp.ndarray, angle: jnp.ndarray, sy: jnp.ndarray,
+                     sx: jnp.ndarray, order: int) -> jnp.ndarray:
+    """out = Rotate(Scale(x)): out(p) = x(c + R(-angle)(p - c) / s)."""
+    H, W, C = x.shape
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    yy = yy.astype(jnp.float32) - cy
+    xx = xx.astype(jnp.float32) - cx
+    ca, sa = jnp.cos(-angle), jnp.sin(-angle)
+    ry = ca * yy - sa * xx
+    rx = sa * yy + ca * xx
+    src_y = ry / sy + cy
+    src_x = rx / sx + cx
+    coords = jnp.stack([src_y, src_x])
+
+    def one_channel(ch):
+        return jax.scipy.ndimage.map_coordinates(ch, list(coords), order=order,
+                                                 mode="constant", cval=0.0)
+
+    return jnp.stack([one_channel(x[..., c]) for c in range(C)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+def augment_train(key: jnp.ndarray, image: jnp.ndarray,
+                  labels: Dict[str, jnp.ndarray],
+                  label_type: str = "distance") -> Tuple[jnp.ndarray, Dict]:
+    """Augment one sample.  image: (H, W, 1) float32 raw intensities
+    [0, 65535]; labels: {'border_label','cell_label'} floats (distance) or
+    {'label'} int (boundary), each (H, W, 1).  Returns the augmented image
+    normalized to [-1, 1] and augmented labels.
+    """
+    keys = jax.random.split(key, 8)
+    int_labels = label_type != "distance"
+
+    # Flip (p=1.0): one of 8 D4 elements
+    h = jax.random.randint(keys[0], (), 0, 8)
+    image = _d4(image, h)
+    labels = {k: _d4(v, h) for k, v in labels.items()}
+
+    # Contrast (p=0.45), image only
+    do_contrast = jax.random.uniform(keys[1]) < 0.45
+    image = jnp.where(do_contrast, _contrast(keys[2], image), image)
+
+    # Scaling (p=0.25) + Rotate (p=0.25) as one resample
+    ks1, ks2, kr = jax.random.split(keys[3], 3)
+    do_scale = jax.random.uniform(keys[4]) < 0.25
+    do_rot = jax.random.uniform(keys[5]) < 0.25
+    sx = jnp.where(do_scale, jax.random.uniform(ks1, (), minval=0.85, maxval=1.15), 1.0)
+    sy = jnp.where(do_scale, jax.random.uniform(ks2, (), minval=0.85, maxval=1.15), 1.0)
+    angle = jnp.where(
+        do_rot,
+        jnp.deg2rad(jax.random.uniform(kr, (), minval=-45.0, maxval=45.0)),
+        0.0)
+    any_geo = do_scale | do_rot
+    geo_img = _affine_resample(image, angle, sy, sx, order=1)
+    image = jnp.where(any_geo, geo_img, image)
+    new_labels = {}
+    for k, v in labels.items():
+        order = 0 if int_labels else 1
+        geo = _affine_resample(v.astype(jnp.float32), angle, sy, sx, order=order)
+        geo = geo.astype(v.dtype)
+        new_labels[k] = jnp.where(any_geo, geo, v)
+    labels = new_labels
+
+    # Blur (p=0.3): sigma U(1, 2)
+    do_blur = jax.random.uniform(keys[6]) < 0.3
+    sigma = jnp.where(do_blur,
+                      jax.random.uniform(keys[7], (), minval=1.0, maxval=2.0) + 0.0,
+                      1e-3)
+    image = gaussian_blur_dynamic(image, sigma, radius=9)
+
+    # Noise (p=0.3): additive gaussian, sigma = {1..5}% of max
+    kn1, kn2, kn3 = jax.random.split(jax.random.fold_in(key, 17), 3)
+    do_noise = jax.random.uniform(kn1) < 0.3
+    pct = jax.random.randint(kn2, (), 1, 6).astype(jnp.float32) / 100.0
+    nsigma = jnp.where(do_noise, pct * jnp.max(image), 0.0)
+    image = image + nsigma * jax.random.normal(kn3, image.shape)
+    image = jnp.clip(image, 0.0, UINT16_MAX)
+
+    # Normalize to [-1, 1] (reference ToTensor :365-406, min=0 max=65535)
+    image = 2.0 * image / UINT16_MAX - 1.0
+    return image, labels
+
+
+def augment_batch(key: jnp.ndarray, images: jnp.ndarray,
+                  labels: Dict[str, jnp.ndarray],
+                  label_type: str = "distance"):
+    """vmapped augmentation over the batch axis with per-sample keys."""
+    keys = jax.random.split(key, images.shape[0])
+    return jax.vmap(
+        lambda k, img, lab: augment_train(k, img, lab, label_type)
+    )(keys, images, labels)
+
+
+def normalize_val(images: jnp.ndarray) -> jnp.ndarray:
+    """Validation path: normalization only (reference val transform)."""
+    return 2.0 * images.astype(jnp.float32) / UINT16_MAX - 1.0

@@ -1,0 +1,316 @@
+"""Training loop: sharded jit train step, reference training protocol.
+
+Re-hosts the reference TrainWorker protocol (src/training/train.py:115-576)
+on a TPU-native engine:
+
+- one jitted train step = index gather -> on-device augmentation -> forward/
+  backward in bfloat16 -> optimizer update, with the batch axis sharded over
+  the 'data' mesh (psum grad all-reduce + synced BatchNorm come from XLA's
+  partitioner; replaces nn.DataParallel, reference unets.py:51-52);
+- weighted ragged-batch handling reproducing running_loss/len(dataset)
+  normalization (reference :493-495);
+- best-val checkpointing (:502-516), plateau break condition (:546-550),
+  ReduceLROnPlateau / cosine schedules stepped per epoch on the host
+  (:386-426, 529-533), loss-history artifact ``{run}_loss.txt`` (:558-569),
+  Ranger second cosine-annealing run from the best checkpoint (:229-252),
+  sidecar json with training_time/trained_epochs (utils.py:94-107).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from pathlib import Path
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from microbeseg_tpu.config import TrainConfig, get_max_epochs, write_sidecar
+from microbeseg_tpu.models.io import save_checkpoint
+from microbeseg_tpu.models.unet import build_unet
+from microbeseg_tpu.ops.augment import augment_batch, normalize_val
+from microbeseg_tpu.parallel.mesh import (
+    batch_sharding,
+    get_mesh,
+    pad_batch_to_devices,
+    replicated_sharding,
+)
+from microbeseg_tpu.training.data import TrainingData, epoch_batches
+from microbeseg_tpu.training.losses import get_loss
+from microbeseg_tpu.training.optimizers import build_optimizer, set_learning_rate
+from microbeseg_tpu.training.schedules import CosineAnnealingLR, ReduceLROnPlateau
+
+
+def _noop(*a, **k):
+    pass
+
+
+class Trainer:
+    """Headless trainer; callbacks replace the reference's Qt signals."""
+
+    def __init__(self, cfg: TrainConfig, path_models: Path,
+                 text_output: Callable[[str], None] = _noop,
+                 progress: Callable[[int], None] = _noop,
+                 should_stop: Callable[[], bool] = lambda: False,
+                 mesh=None):
+        self.cfg = cfg
+        self.path_models = Path(path_models)
+        self.path_models.mkdir(parents=True, exist_ok=True)
+        self.text_output = text_output
+        self.progress = progress
+        self.should_stop = should_stop
+        self.mesh = mesh if mesh is not None else get_mesh(cfg.num_devices)
+        self.model = build_unet(cfg.model,
+                                dtype=jnp.dtype(cfg.compute_dtype))
+        self.loss_fn = get_loss(cfg.loss, cfg.label_type)
+        self.stopped = False
+
+    # ------------------------------------------------------------------
+    # jitted steps
+    # ------------------------------------------------------------------
+
+    def _build_steps(self, tx, has_batch_stats: bool):
+        model = self.model
+        label_type = self.cfg.label_type
+        loss_fn = self.loss_fn
+        per_sample = jax.vmap(
+            lambda pred, batch: loss_fn(pred, batch),
+            in_axes=(0, 0))
+
+        bsh = batch_sharding(self.mesh)
+        rsh = replicated_sharding(self.mesh)
+
+        def apply_train(params, batch_stats, images, labels):
+            variables = {"params": params}
+            if has_batch_stats:
+                variables["batch_stats"] = batch_stats
+                preds, mutated = model.apply(variables, images, train=True,
+                                             mutable=["batch_stats"])
+                return preds, mutated["batch_stats"]
+            preds = model.apply(variables, images, train=True)
+            return preds, batch_stats
+
+        def train_step(params, batch_stats, opt_state, images, labels,
+                       weights, key):
+            aug_img, aug_labels = augment_batch(key, images, labels,
+                                                label_type)
+
+            def losses(params):
+                preds, new_bs = apply_train(params, batch_stats, aug_img,
+                                            aug_labels)
+                per = per_sample(preds, aug_labels)
+                loss = jnp.sum(per * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+                return loss, new_bs
+
+            (loss, new_bs), grads = jax.value_and_grad(
+                losses, has_aux=True)(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_bs, new_opt, loss * jnp.sum(weights)
+
+        def eval_step(params, batch_stats, images, labels, weights):
+            images = normalize_val(images)
+            variables = {"params": params}
+            if has_batch_stats:
+                variables["batch_stats"] = batch_stats
+            preds = model.apply(variables, images, train=False)
+            per = per_sample(preds, labels)
+            return jnp.sum(per * weights)
+
+        train_step = jax.jit(
+            train_step,
+            in_shardings=(rsh, rsh, rsh, bsh, bsh, bsh, rsh),
+            out_shardings=(rsh, rsh, rsh, rsh),
+            donate_argnums=(0, 1, 2))
+        eval_step = jax.jit(
+            eval_step,
+            in_shardings=(rsh, rsh, bsh, bsh, bsh),
+            out_shardings=rsh)
+        return train_step, eval_step
+
+    # ------------------------------------------------------------------
+    # the reference train() protocol (train.py:316-576)
+    # ------------------------------------------------------------------
+
+    def train(self, data: TrainingData, best_loss: float = 1e4,
+              print_output: bool = False) -> float:
+        cfg = self.cfg
+        second_run = best_loss < 1e3
+        max_epochs = cfg.max_epochs or get_max_epochs(len(data), data.crop_size)
+
+        if second_run:
+            self.text_output("Start 2nd run with cosine annealing")
+        else:
+            self.text_output("-" * 10)
+            self.text_output(cfg.run_name)
+            self.text_output("-" * 10)
+            self.text_output(
+                f"Train/validate on {len(data.train)}/{len(data.val)} images")
+
+        tx, lr0 = build_optimizer(cfg, second_run=second_run)
+
+        # schedules + break condition (reference :386-426)
+        if cfg.optimizer == "adam":
+            scheduler = ReduceLROnPlateau(lr0, factor=0.25,
+                                          patience=max_epochs // 20,
+                                          min_lr=3e-6)
+            break_condition = 2 * max_epochs // 20 + 5
+            run_epochs = max_epochs
+        elif second_run:
+            scheduler = CosineAnnealingLR(lr0, t_max=max_epochs // 10,
+                                          eta_min=3e-5)
+            break_condition = max_epochs // 10 + 1
+            run_epochs = max_epochs // 10
+        else:
+            scheduler = ReduceLROnPlateau(lr0, factor=0.25,
+                                          patience=max_epochs // 10,
+                                          min_lr=0.075 * lr0)
+            break_condition = 2 * max_epochs // 10 + 5
+            run_epochs = max_epochs
+
+        # init model + optimizer
+        rng = jax.random.PRNGKey(cfg.seed + (1 if second_run else 0))
+        init_key, shuffle_seed = jax.random.split(rng)
+        sample = jnp.zeros((1, data.crop_size, data.crop_size,
+                            cfg.model.ch_in), jnp.float32)
+        variables = self.model.init(init_key, sample, train=False)
+        if second_run:  # resume from the best checkpoint (reference :240-242)
+            from microbeseg_tpu.models.io import load_checkpoint
+            variables = load_checkpoint(
+                jax.device_get(dict(variables)),
+                self.path_models / f"{cfg.run_name}.ckpt")
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        has_bs = "batch_stats" in variables
+        opt_state = tx.init(params)
+
+        train_step, eval_step = self._build_steps(tx, has_bs)
+
+        np_rng = np.random.default_rng(cfg.seed + (1000 if second_run else 0))
+        step_key = jax.random.PRNGKey(cfg.seed + (2 if second_run else 3))
+
+        epochs_wo_improvement = 0
+        train_hist, val_hist = [], []
+        since = time.time()
+        epoch = -1
+
+        train_imgs = data.train.images
+        val_imgs = data.val.images
+
+        # The per-step batch must be divisible by the mesh size; ragged /
+        # rounded-up slots carry weight 0, so the weighted loss stays exact.
+        n_dev = self.mesh.devices.size
+        step_bs = pad_batch_to_devices(cfg.batch_size, n_dev)
+
+        for epoch in range(run_epochs):
+            if self.should_stop():
+                self.text_output("Stop training due to user interaction.")
+                try:
+                    (self.path_models / f"{cfg.run_name}.ckpt").unlink()
+                except FileNotFoundError:
+                    pass
+                self.stopped = True
+                break
+
+            # --- train phase ---
+            running = 0.0
+            for idx, w in epoch_batches(len(data.train), step_bs,
+                                        np_rng, shuffle=True):
+                step_key, k = jax.random.split(step_key)
+                images = train_imgs[idx]
+                labels = {k2: v[idx] for k2, v in data.train.labels.items()}
+                params, batch_stats, opt_state, loss_sum = train_step(
+                    params, batch_stats, opt_state, images, labels, w, k)
+                running += float(loss_sum)
+            train_loss = running / len(data.train)
+            train_hist.append(train_loss)
+
+            # --- val phase ---
+            running = 0.0
+            for idx, w in epoch_batches(len(data.val), step_bs,
+                                        np_rng, shuffle=False):
+                images = val_imgs[idx]
+                labels = {k2: v[idx] for k2, v in data.val.labels.items()}
+                running += float(eval_step(params, batch_stats, images,
+                                           labels, w))
+            val_loss = running / len(data.val)
+            val_hist.append(val_loss)
+
+            if val_loss < best_loss:
+                best_loss = val_loss
+                msg = (f"{epoch + 1} / {run_epochs}: Loss train / val: "
+                       f"{train_loss:.4f} / {val_loss:.4f} --> save")
+                save_checkpoint(
+                    {"params": params, "batch_stats": batch_stats},
+                    self.path_models / cfg.run_name)
+                epochs_wo_improvement = 0
+            else:
+                msg = (f"{epoch + 1} / {run_epochs}: Loss train / val: "
+                       f"{train_loss:.4f} / {val_loss:.4f}")
+                epochs_wo_improvement += 1
+            self.text_output(msg)
+            if print_output:
+                print(msg)
+
+            new_lr = scheduler.step(val_loss)
+            opt_state = set_learning_rate(opt_state, new_lr)
+
+            self.progress(int(100 * (epoch + 1) / run_epochs))
+
+            if epochs_wo_improvement == break_condition:
+                self.text_output(
+                    f"{epochs_wo_improvement} epochs without val loss "
+                    "improvement --> break")
+                break
+
+        if not self.stopped and epoch >= 0:
+            elapsed = time.time() - since
+            self.text_output(
+                f"Training completed in {elapsed // 60:.0f}min "
+                f"{elapsed % 60:.0f}s")
+            self._write_loss_history(train_hist, val_hist, second_run)
+            self._timing = {"training_time": elapsed,
+                            "trained_epochs": epoch + 1,
+                            "second_run": second_run}
+        return best_loss
+
+    def _write_loss_history(self, train_hist, val_hist, second_run):
+        stats = np.transpose(np.array(
+            [list(range(1, len(train_hist) + 1)), train_hist, val_hist]))
+        path = self.path_models / f"{self.cfg.run_name}_loss.txt"
+        if second_run:
+            with open(path, "a") as f:
+                f.write("\n")
+                np.savetxt(f, X=stats, fmt=["%3i", "%2.5f", "%2.5f"],
+                           delimiter=",")
+        else:
+            np.savetxt(fname=str(path), X=stats,
+                       fmt=["%3i", "%2.5f", "%2.5f"],
+                       header="Epoch, training loss, validation loss",
+                       delimiter=",")
+
+    # ------------------------------------------------------------------
+    # full protocol: main run (+ Ranger fine-tune), sidecar
+    # ------------------------------------------------------------------
+
+    def fit(self, data: TrainingData, print_output: bool = False) -> float:
+        import dataclasses
+        if self.cfg.max_epochs is None:
+            self.cfg = dataclasses.replace(
+                self.cfg,
+                max_epochs=get_max_epochs(len(data), data.crop_size))
+        cfg = self.cfg
+        best = self.train(data, print_output=print_output)
+        extra: Dict = dict(getattr(self, "_timing", {}))
+        if cfg.optimizer == "ranger" and not self.stopped:
+            best = self.train(data, best_loss=best, print_output=print_output)
+            t2 = getattr(self, "_timing", {})
+            if t2.get("second_run"):
+                extra["training_time_run_2"] = t2.get("training_time")
+                extra["trained_epochs_run2"] = t2.get("trained_epochs")
+        if not self.stopped:
+            write_sidecar(cfg, self.path_models, extra=extra)
+        return best

@@ -7,10 +7,20 @@ TPU chip free for benchmarks.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-set (not setdefault): the ambient environment exports
+# JAX_PLATFORMS=axon (the real TPU tunnel); tests must run on virtual CPU
+# devices so the chip stays free and multi-device paths are exercised.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags += " --xla_force_host_platform_device_count=8"
+# This box has a single physical core; 8 virtual devices time-share it, so
+# XLA's default 40s collective-rendezvous termination timeout can fire on
+# slow steps.  Raise it.
+if "collective" not in _flags:
+    _flags += (" --xla_cpu_collective_call_terminate_timeout_seconds=600"
+               " --xla_cpu_collective_timeout_seconds=600")
+os.environ["XLA_FLAGS"] = _flags.strip()
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")

@@ -1,0 +1,225 @@
+"""Training-stack tests: losses, Ranger-in-optax, schedules, augmentation,
+and an end-to-end smoke train over the 8-device virtual mesh (SURVEY.md §4(c,d))."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from microbeseg_tpu.config import ModelConfig, TrainConfig, get_max_epochs
+from microbeseg_tpu.ops.augment import augment_batch, clahe
+from microbeseg_tpu.training.losses import ce_dice, get_loss, smooth_l1
+from microbeseg_tpu.training.optimizers import (
+    build_optimizer,
+    gradient_centralization,
+    lookahead,
+    ranger,
+    set_learning_rate,
+)
+from microbeseg_tpu.training.schedules import CosineAnnealingLR, ReduceLROnPlateau
+
+
+class TestLosses:
+    def test_smooth_l1_matches_torch_formula(self):
+        pred = jnp.array([0.0, 0.5, 2.0])
+        target = jnp.array([0.0, 0.0, 0.0])
+        # elements: 0, 0.5*0.25=0.125, 2-0.5=1.5 -> mean
+        expected = (0 + 0.125 + 1.5) / 3
+        assert np.isclose(float(smooth_l1(pred, target)), expected)
+
+    def test_distance_loss_two_heads(self):
+        loss = get_loss("smooth_l1", "distance")
+        pred = (jnp.ones((2, 8, 8, 1)), jnp.zeros((2, 8, 8, 1)))
+        batch = {"border_label": jnp.zeros((2, 8, 8, 1)),
+                 "cell_label": jnp.zeros((2, 8, 8, 1))}
+        assert np.isclose(float(loss(pred, batch)), 0.5)  # smooth_l1(1,0)=0.5
+
+    def test_ce_dice_perfect_prediction_small(self):
+        labels = jnp.zeros((1, 8, 8), jnp.int32).at[0, 2:6, 2:6].set(1)
+        logits = jax.nn.one_hot(labels, 3) * 20.0
+        loss = float(ce_dice(logits, labels))
+        assert loss < 0.01
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            get_loss("nope", "distance")
+
+
+class TestOptimizers:
+    def test_gradient_centralization(self):
+        gc = gradient_centralization()
+        grads = {"w": jnp.ones((3, 3, 2, 4)), "b": jnp.ones((4,))}
+        state = gc.init(grads)
+        out, _ = gc.update(grads, state)
+        assert np.allclose(np.asarray(out["w"]), 0)   # constant grad -> centered to 0
+        assert np.allclose(np.asarray(out["b"]), 1)   # 1-dim untouched
+
+    def test_lookahead_sync(self):
+        la = lookahead(alpha=0.5, k=2)
+        params = {"w": jnp.zeros(3)}
+        state = la.init(params)
+        u = {"w": jnp.ones(3)}
+        # step 1: no sync
+        out, state = la.update(u, state, params)
+        np.testing.assert_allclose(np.asarray(out["w"]), 1.0)
+        params = jax.tree.map(lambda p, g: p + g, params, out)
+        # step 2: sync -> final = slow + 0.5*(fast_new - slow) = 0 + 0.5*2 = 1
+        out, state = la.update(u, state, params)
+        final = params["w"] + out["w"]
+        np.testing.assert_allclose(np.asarray(final), 1.0)
+
+    def test_ranger_reduces_quadratic(self):
+        tx = ranger(1e-1)
+        params = jnp.array([3.0, -2.0])
+        state = tx.init(params)
+        for _ in range(150):
+            grads = 2 * params
+            updates, state = tx.update(grads, state, params)
+            params = optax.apply_updates(params, updates)
+        assert float(jnp.sum(params ** 2)) < 1.0
+
+    def test_inject_lr_settable(self):
+        cfg = TrainConfig(optimizer="ranger")
+        tx, lr = build_optimizer(cfg)
+        assert np.isclose(lr, 6e-3)
+        state = tx.init({"w": jnp.zeros(2)})
+        state = set_learning_rate(state, 1e-4)
+        assert np.isclose(float(state.hyperparams["learning_rate"]), 1e-4)
+
+    def test_finetune_lr(self):
+        cfg = TrainConfig(optimizer="ranger")
+        _, lr = build_optimizer(cfg, second_run=True)
+        assert np.isclose(lr, 0.09 * 6e-3)
+
+
+class TestSchedules:
+    def test_plateau_reduces_after_patience(self):
+        s = ReduceLROnPlateau(1.0, factor=0.5, patience=2, min_lr=0.1)
+        assert s.step(1.0) == 1.0       # new best
+        assert s.step(1.0) == 1.0       # bad 1
+        assert s.step(1.0) == 1.0       # bad 2
+        assert s.step(1.0) == 0.5       # bad 3 > patience -> reduce
+        for _ in range(10):
+            s.step(1.0)
+        assert s.lr >= 0.1
+
+    def test_cosine(self):
+        s = CosineAnnealingLR(1.0, t_max=10, eta_min=0.0)
+        lrs = [s.step() for _ in range(10)]
+        assert lrs[0] < 1.0 and np.isclose(lrs[-1], 0.0, atol=1e-9)
+        assert all(a >= b for a, b in zip(lrs, lrs[1:]))
+
+    def test_max_epochs_heuristic(self):
+        assert get_max_epochs(1200, 320) == 200
+        assert get_max_epochs(30, 320) == 560
+        assert get_max_epochs(1200, 80) == 400  # 200*sqrt(4)=400
+
+
+class TestAugment:
+    def _batch(self, rng, n=4, size=48):
+        images = rng.integers(0, 65535, (n, size, size, 1)).astype(np.float32)
+        labels = {
+            "border_label": rng.random((n, size, size, 1)).astype(np.float32),
+            "cell_label": rng.random((n, size, size, 1)).astype(np.float32),
+        }
+        return jnp.asarray(images), {k: jnp.asarray(v) for k, v in labels.items()}
+
+    def test_shapes_and_range(self, rng):
+        images, labels = self._batch(rng)
+        key = jax.random.PRNGKey(0)
+        out_img, out_lab = augment_batch(key, images, labels, "distance")
+        assert out_img.shape == images.shape
+        assert float(out_img.min()) >= -1.0 - 1e-5
+        assert float(out_img.max()) <= 1.0 + 1e-5
+        for k, v in out_lab.items():
+            assert v.shape == labels[k].shape
+
+    def test_deterministic_per_key(self, rng):
+        images, labels = self._batch(rng, n=2)
+        key = jax.random.PRNGKey(7)
+        a = augment_batch(key, images, labels, "distance")
+        b = augment_batch(key, images, labels, "distance")
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+    def test_clahe_flattens_histogram(self, rng):
+        # a low-contrast image should span more of [0,1] after CLAHE
+        img = (0.4 + 0.1 * rng.random((64, 64))).astype(np.float32)
+        out = np.asarray(clahe(jnp.asarray(img)))
+        assert out.max() - out.min() > 0.4
+        assert out.shape == img.shape
+
+
+class TestSmokeTrain:
+    def test_loss_decreases_and_checkpoints(self, tmp_path, rng):
+        """End-to-end: synthetic blob distance dataset, tiny DUNet, sharded
+        train step over the 8-device CPU mesh."""
+        from tests.conftest import synthetic_blobs
+        from tests.oracles import distance_label_oracle, regionprops_oracle
+        from microbeseg_tpu.training.data import SplitArrays, TrainingData
+        from microbeseg_tpu.training.trainer import Trainer
+
+        def make_split(n):
+            imgs, borders, cells, ids = [], [], [], []
+            for i in range(n):
+                mask = synthetic_blobs(rng, shape=(48, 48), n_blobs=4)
+                props = regionprops_oracle(mask)
+                mal = max(p["major_axis_length"] for p in props)
+                cell, nb = distance_label_oracle(mask, int(np.ceil(0.75 * mal)))
+                img = (mask > 0).astype(np.float32) * 40000 + 5000
+                imgs.append(img[..., None])
+                cells.append(cell[..., None])
+                borders.append(nb[..., None])
+                ids.append(f"img_{i}")
+            return SplitArrays(
+                images=np.stack(imgs),
+                labels={"border_label": np.stack(borders),
+                        "cell_label": np.stack(cells)},
+                ids=ids)
+
+        data = TrainingData(train=make_split(8), val=make_split(4),
+                            crop_size=48)
+        cfg = TrainConfig(model=ModelConfig(filters=(8, 32)),
+                          optimizer="adam", batch_size=8, max_epochs=3,
+                          run_name="smoke_model_01", compute_dtype="float32")
+        logs = []
+        trainer = Trainer(cfg, tmp_path, text_output=logs.append)
+        best = trainer.train(data)
+        assert best < 1e4
+        assert (tmp_path / "smoke_model_01.ckpt").exists()
+        assert (tmp_path / "smoke_model_01_loss.txt").exists()
+        hist = np.loadtxt(tmp_path / "smoke_model_01_loss.txt",
+                          delimiter=",", skiprows=1, ndmin=2)
+        assert hist.shape[0] == 3
+
+    def test_ranger_fit_writes_sidecar(self, tmp_path, rng):
+        from tests.conftest import synthetic_blobs
+        from tests.oracles import distance_label_oracle, regionprops_oracle
+        from microbeseg_tpu.training.data import SplitArrays, TrainingData
+        from microbeseg_tpu.training.trainer import Trainer
+        import json
+
+        def quick_split(n):
+            imgs, borders, cells = [], [], []
+            for i in range(n):
+                mask = synthetic_blobs(rng, shape=(32, 32), n_blobs=2)
+                img = (mask > 0).astype(np.float32) * 30000
+                imgs.append(img[..., None])
+                cells.append((mask > 0).astype(np.float32)[..., None])
+                borders.append(np.zeros_like(img)[..., None])
+            return SplitArrays(images=np.stack(imgs),
+                               labels={"border_label": np.stack(borders),
+                                       "cell_label": np.stack(cells)},
+                               ids=[f"img_{i}" for i in range(n)])
+
+        data = TrainingData(train=quick_split(4), val=quick_split(2),
+                            crop_size=32)
+        cfg = TrainConfig(model=ModelConfig(filters=(8, 16), act_fun="mish"),
+                          optimizer="ranger", batch_size=4, max_epochs=20,
+                          run_name="rng_model_01", compute_dtype="float32")
+        trainer = Trainer(cfg, tmp_path)
+        trainer.fit(data)
+        sidecar = json.loads((tmp_path / "rng_model_01.json").read_text())
+        assert sidecar["optimizer"] == "ranger"
+        assert "trained_epochs" in sidecar
+        assert sidecar["architecture"][0] == "DU"
