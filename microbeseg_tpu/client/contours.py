@@ -1,0 +1,159 @@
+"""Contour extraction and polygon rasterization (host-side).
+
+First-party replacements for the reference's cv2.findContours + shapely
+contour path (reference: src/utils/hull_polygon.py:44-89 ``cv2_countour``)
+and skimage.draw.polygon rasterization (reference:
+src/utils/data_export.py:60-70, result_export.py, analysis.py).  These feed
+the OMERO polygon-ROI contract: per-instance outer boundary as an ordered
+(x, y) vertex list.
+
+Host-side is the right place for this: contours only serialize masks for the
+OMERO server / annotation tool, they are not on the TPU compute path
+(SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+# Moore neighborhood in clockwise order starting from W
+_MOORE = [(0, -1), (-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1)]
+
+
+def trace_boundary(mask: np.ndarray) -> np.ndarray:
+    """Trace the outer boundary of a binary object (Moore neighbor tracing
+    with Jacob's stopping criterion).  Returns (n, 2) array of (y, x) pixel
+    coordinates, clockwise."""
+    mask = np.asarray(mask).astype(bool)
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        return np.zeros((0, 2), dtype=np.int64)
+    # start: topmost-leftmost pixel
+    i = np.lexsort((xs, ys))[0]
+    start = (int(ys[i]), int(xs[i]))
+    if len(ys) == 1:
+        return np.array([start])
+
+    H, W = mask.shape
+
+    def at(p):
+        y, x = p
+        return 0 <= y < H and 0 <= x < W and mask[y, x]
+
+    contour = [start]
+    # backtrack: the point we came from; start from W of the start pixel
+    prev_dir = 0  # index into _MOORE pointing to the backtrack cell
+    cur = start
+    first_next = None
+    while True:
+        found = False
+        for k in range(8):
+            d = (prev_dir + 1 + k) % 8
+            cand = (cur[0] + _MOORE[d][0], cur[1] + _MOORE[d][1])
+            if at(cand):
+                # new backtrack = direction pointing back toward cur
+                prev_dir = (d + 4) % 8
+                # rotate so the scan starts just after the backtrack
+                cur = cand
+                found = True
+                break
+        if not found:  # isolated pixel cluster
+            break
+        if first_next is None:
+            first_next = cur
+        elif cur == first_next and contour[-1] == start:
+            break
+        contour.append(cur)
+        if len(contour) > 4 * (H * W):
+            break  # safety
+    # drop the duplicated closing vertex if present
+    if len(contour) > 1 and contour[-1] == start:
+        contour.pop()
+    return np.array(contour, dtype=np.int64)
+
+
+def mask_to_polygons(labels: np.ndarray) -> Dict[int, np.ndarray]:
+    """Per-instance outer contours: {id: (n, 2) array of (x, y) vertices}
+    (the x-y order matches the OMERO polygon ROI string convention used by
+    the reference's cv2 path)."""
+    labels = np.asarray(labels)
+    out: Dict[int, np.ndarray] = {}
+    for inst_id in np.unique(labels):
+        if inst_id == 0:
+            continue
+        contour_yx = trace_boundary(labels == inst_id)
+        if len(contour_yx) == 0:
+            continue
+        out[int(inst_id)] = contour_yx[:, ::-1].copy()  # (x, y)
+    return out
+
+
+def polygons_to_roi_strings(polygons: Dict[int, np.ndarray]) -> List[str]:
+    """OMERO polygon ROI point strings: 'x1,y1 x2,y2 ...' per instance."""
+    return [" ".join(f"{x},{y}" for x, y in poly)
+            for poly in polygons.values()]
+
+
+def roi_string_to_polygon(points: str) -> np.ndarray:
+    """Parse 'x1,y1 x2,y2 ...' (allows 'x,y' with float values)."""
+    pts = []
+    for tok in points.replace(";", " ").split():
+        x, y = tok.split(",")[:2]
+        pts.append((float(x), float(y)))
+    return np.array(pts, dtype=np.float64)
+
+
+def polygon_to_mask(poly_xy: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:
+    """Rasterize a polygon given as (n, 2) (x, y) vertices into a boolean
+    mask (skimage.draw.polygon semantics: pixel centers inside the polygon,
+    boundary-inclusive via a half-open crossing test + explicit boundary)."""
+    H, W = shape
+    poly = np.asarray(poly_xy, dtype=np.float64)
+    if len(poly) < 3:
+        m = np.zeros(shape, bool)
+        xs = np.clip(np.round(poly[:, 0]).astype(int), 0, W - 1)
+        ys = np.clip(np.round(poly[:, 1]).astype(int), 0, H - 1)
+        m[ys, xs] = True
+        return m
+    x = poly[:, 0]
+    y = poly[:, 1]
+    x2 = np.roll(x, -1)
+    y2 = np.roll(y, -1)
+
+    yy = np.arange(H, dtype=np.float64)[:, None, None]   # (H, 1, 1)
+    xx = np.arange(W, dtype=np.float64)[None, :, None]   # (1, W, 1)
+    # crossing-number test per pixel center
+    cond = ((y[None, None, :] <= yy) & (y2[None, None, :] > yy)) | \
+           ((y2[None, None, :] <= yy) & (y[None, None, :] > yy))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (yy - y[None, None, :]) / (y2[None, None, :] - y[None, None, :])
+    xint = x[None, None, :] + t * (x2[None, None, :] - x[None, None, :])
+    crossings = np.sum(cond & (xx < xint), axis=-1)
+    inside = (crossings % 2) == 1
+    # include boundary vertices (skimage.draw.polygon includes the outline
+    # pixels of integer-coordinate polygons in almost all cases)
+    xs = np.clip(np.round(x).astype(int), 0, W - 1)
+    ys = np.clip(np.round(y).astype(int), 0, H - 1)
+    inside[ys, xs] = True
+    return inside
+
+
+def get_indices_pandas(labels: np.ndarray) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+    """{instance id: (ys, xs)} pixel indices (reference hull_polygon.py:8-41
+    — the pandas groupby trick replaced with a single argsort pass)."""
+    labels = np.asarray(labels)
+    flat = labels.ravel()
+    order = np.argsort(flat, kind="stable")
+    sorted_vals = flat[order]
+    uniq, starts = np.unique(sorted_vals, return_index=True)
+    out = {}
+    H, W = labels.shape
+    for i, val in enumerate(uniq):
+        if val == 0:
+            continue
+        end = starts[i + 1] if i + 1 < len(starts) else len(flat)
+        idx = order[starts[i]:end]
+        out[int(val)] = (idx // W, idx % W)
+    return out

@@ -67,8 +67,10 @@ def lookahead(alpha: float = 0.5, k: int = 6) -> optax.GradientTransformation:
     """
 
     def init_fn(params):
+        # jnp.copy, not asarray: the slow weights must not alias the live
+        # params, or jit buffer donation would donate the same buffer twice.
         return LookaheadState(step=jnp.zeros([], jnp.int32),
-                              slow=jax.tree.map(jnp.asarray, params))
+                              slow=jax.tree.map(jnp.copy, params))
 
     def update_fn(updates, state, params):
         if params is None:
