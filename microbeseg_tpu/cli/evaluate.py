@@ -1,0 +1,44 @@
+"""Headless evaluation CLI — AJI+ threshold-grid model evaluation.
+
+The reference exposes evaluation only through the GUI (EvalWorker wiring,
+src/microbe_seg_gui.py:1039-1113); this CLI makes the same pipeline
+scriptable: give it a trainset directory (with ``test/``) and one or more
+checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from microbeseg_tpu.config import EvalConfig
+from microbeseg_tpu.evaluation.evaluator import Evaluator
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="microbeSEG-tpu evaluation")
+    parser.add_argument("--data", "-d", required=True, type=str,
+                        help="Trainset directory containing test/")
+    parser.add_argument("--models", "-m", required=True, type=str, nargs="+",
+                        help="Checkpoint paths (.ckpt or stem)")
+    parser.add_argument("--results", "-r", default=None, type=str,
+                        help="Results directory")
+    parser.add_argument("--save_raw", default=False, action="store_true",
+                        help="Save raw CNN outputs")
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    path_data = Path(args.data)
+    path_results = (Path(args.results) if args.results
+                    else Path.cwd() / "evaluation" / path_data.name)
+    path_results.mkdir(parents=True, exist_ok=True)
+    cfg = EvalConfig(save_raw_pred=args.save_raw)
+    ev = Evaluator(cfg, text_output=print)
+    df = ev.evaluate(path_data, path_results,
+                     [Path(m) for m in args.models])
+    if df is None:
+        return 1
+    print(df.to_string(index=False))
+    return 0

@@ -1,0 +1,81 @@
+"""Store-backed (OMERO) inference CLI (reference: infer_script.py:13-129).
+
+Expands project/dataset/file ids to an image list and runs ``infer_dataset``
+— uploading polygon ROIs + model/date annotations back to the store, or
+writing local TIFFs.  Works against a live OMERO server (omero-py) or a
+``LocalStore`` directory via ``--local_store``.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from microbeseg_tpu.client.workers import infer_dataset
+from microbeseg_tpu.config import InferConfig
+from microbeseg_tpu.inference.engine import InferenceEngine
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="microbeSEG-tpu OMERO inference")
+    parser.add_argument("--dataset", default=None, type=int, help="Dataset id")
+    parser.add_argument("--files", default=[], type=int, nargs="+",
+                        help="Image ids")
+    parser.add_argument("--model", "-m", required=True, type=str,
+                        help="Path to model")
+    parser.add_argument("--thresholds", "-t", default=[0.10, 0.45], type=float,
+                        nargs="+", help="th_cell th_seed")
+    parser.add_argument("--channel", "-c", default=0, type=int)
+    parser.add_argument("--upload", default=True, action="store_true",
+                        help="Upload ROIs back to the store")
+    parser.add_argument("--no-upload", dest="upload", action="store_false")
+    parser.add_argument("--overwrite", "-o", default=False, action="store_true")
+    parser.add_argument("--result_path", "-r", default=None, type=str)
+    parser.add_argument("--sliding_window", default=False, action="store_true",
+                        help="Sliding-window tiled inference for large frames")
+    parser.add_argument("--local_store", default=None, type=str,
+                        help="Path of a LocalStore root (offline mode)")
+    parser.add_argument("--username", default=None, type=str)
+    parser.add_argument("--password", default=None, type=str)
+    parser.add_argument("--host", default=None, type=str)
+    parser.add_argument("--port", default=None, type=str)
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if len(args.thresholds) != 2:
+        raise ValueError("exactly 2 thresholds required (th_cell th_seed)")
+
+    if args.local_store:
+        from microbeseg_tpu.client.store import LocalStore
+        store = LocalStore(Path(args.local_store))
+    else:
+        import getpass
+        import json
+
+        from microbeseg_tpu.client.store import OmeroStore
+        settings_path = Path.cwd() / "settings.json"
+        settings = (json.loads(settings_path.read_text())
+                    if settings_path.is_file() else {})
+        username = args.username or settings.get("omero_username") or input("OMERO username: ")
+        password = args.password or getpass.getpass(prompt="Password: ")
+        store = OmeroStore(username, password, settings.get("omero_host"),
+                           int(args.port or settings.get("omero_port", 4064)))
+
+    image_ids = list(args.files)
+    if args.dataset is not None:
+        image_ids.extend(ref.image_id for ref in store.list_images(args.dataset))
+    if not image_ids:
+        print("No images found")
+        return 0
+
+    cfg = InferConfig(th_cell=args.thresholds[0], th_seed=args.thresholds[1],
+                      use_tiling=args.sliding_window)
+    engine = InferenceEngine.from_checkpoint(Path(args.model), cfg=cfg)
+    infer_dataset(store, image_ids, engine, model_name=Path(args.model).stem,
+                  upload=args.upload, overwrite=args.overwrite,
+                  result_dir=Path(args.result_path) if args.result_path else None,
+                  text_output=print)
+    print("--- Finished ---")
+    return 0

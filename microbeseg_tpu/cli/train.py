@@ -1,0 +1,91 @@
+"""Headless training CLI (reference: train_script.py:14-129).
+
+Same three-stage pipeline — trainset export -> label creation -> training —
+with two data sources: ``--omero_id`` against a server-backed store (requires
+omero-py) or ``--train_dir`` pointing at a local trainset folder with
+``train/ val/ (test/)`` subdirs of img_/mask_ TIFFs (also produced by
+``export_trainset`` on a LocalStore).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from microbeseg_tpu.training.workers import create_labels, run_training
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="microbeSEG-tpu training script")
+    parser.add_argument("--omero_id", "-id", default=None, type=int,
+                        help="Training dataset id (server-backed store)")
+    parser.add_argument("--train_dir", default=None, type=str,
+                        help="Local trainset directory (train/ + val/ subdirs)")
+    parser.add_argument("--batch_size", "-b", default=4, type=int, help="Batch size")
+    parser.add_argument("--iterations", "-i", default=1, type=int,
+                        help="Number of models to train")
+    parser.add_argument("--method", "-m", default="distance", type=str,
+                        help='"boundary" or "distance"')
+    parser.add_argument("--optimizer", "-o", default="Ranger", type=str,
+                        help='"Adam" or "Ranger"')
+    parser.add_argument("--model_path", "-r", default=None, type=str,
+                        help="Model path for saving")
+    parser.add_argument("--num_devices", "-d", default=None, type=int,
+                        help="Data-parallel devices (default: all)")
+    parser.add_argument("--username", default=None, type=str, help="OMERO username")
+    parser.add_argument("--password", default=None, type=str, help="OMERO password")
+    parser.add_argument("--host", default=None, type=str, help="OMERO host")
+    parser.add_argument("--port", default=None, type=str, help="OMERO port")
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.method.lower() not in ("distance", "boundary"):
+        raise ValueError(f"Unknown method {args.method}")
+    if args.optimizer.lower() not in ("ranger", "adam"):
+        raise ValueError(f"Unknown optimizer {args.optimizer}")
+
+    if args.train_dir is not None:
+        trainset_path = Path(args.train_dir)
+    elif args.omero_id is not None:
+        import getpass
+        import json
+
+        from microbeseg_tpu.client.store import OmeroStore
+        from microbeseg_tpu.client.workers import export_trainset
+
+        settings_path = Path.cwd() / "settings.json"
+        settings = (json.loads(settings_path.read_text())
+                    if settings_path.is_file() else {})
+        username = args.username or settings.get("omero_username") or input("OMERO username: ")
+        password = args.password or getpass.getpass(prompt="Password: ")
+        host = args.host or settings.get("omero_host")
+        port = int(args.port or settings.get("omero_port", 4064))
+        store = OmeroStore(username, password, host, port)
+        print("Downloading data (pre-labeled but not corrected data are skipped)")
+        trainset_path = export_trainset(store, args.omero_id,
+                                        Path.cwd() / "training_dataset",
+                                        text_output=print)
+        if trainset_path is None:
+            return 1
+    else:
+        raise ValueError("Provide --train_dir or --omero_id")
+
+    model_path = (Path.cwd() / "models" if args.model_path is None
+                  else Path(args.model_path))
+    model_path = model_path / trainset_path.name
+    model_path.mkdir(parents=True, exist_ok=True)
+
+    print(f"Create {args.method.lower()} labels")
+    if not create_labels(trainset_path, args.method.lower(),
+                         text_output=print):
+        return 1
+
+    print("Start training")
+    ok = run_training(trainset_path, model_path, args.method.lower(),
+                      args.iterations, args.optimizer.lower(),
+                      args.batch_size, text_output=print,
+                      num_devices=args.num_devices, print_output=True)
+    print("--- Finished ---")
+    return 0 if ok else 1

@@ -1,0 +1,434 @@
+"""Data-management workers on the ImageStore abstraction.
+
+Re-hosts the reference's OMERO workers (SURVEY.md §2.1 items 18-22) on the
+``ImageStore`` interface, so they run identically against a live OMERO server
+(OmeroStore) or a local filesystem (LocalStore):
+
+- export_trainset  <- DataExportWorker (src/utils/data_export.py:18-116)
+- import_data      <- DataImportWorker (src/utils/data_import.py:17-286)
+- analyze_dataset  <- AnalysisWorker (src/inference/analysis.py:12-211)
+- export_results   <- ResultExportWorker (src/inference/result_export.py:11-224)
+- CropGenerator    <- DataCropWorker + GUI crop-list logic
+  (src/utils/data_cropping.py:19-330, src/microbe_seg_gui.py:2121-2329)
+- infer_dataset    <- InferWorker (src/inference/infer.py:22-390)
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from microbeseg_tpu.client.contours import (
+    mask_to_polygons,
+    polygon_to_mask,
+    roi_string_to_polygon,
+)
+from microbeseg_tpu.client.store import (
+    ANALYSIS_NAMESPACE,
+    ImageStore,
+    RoiPolygon,
+    timestamp,
+)
+from microbeseg_tpu.utils.image import min_max_normalization
+from microbeseg_tpu.utils.tiff import imread, imwrite
+
+
+def _noop(*a, **k):
+    pass
+
+
+def _rasterize_rois(polys: Sequence[RoiPolygon], t: int,
+                    shape: Tuple[int, int]) -> np.ndarray:
+    """Polygon ROIs of frame t -> uint16 instance mask (one id per ROI)."""
+    mask = np.zeros(shape, np.uint16)
+    inst = 0
+    for p in polys:
+        if p.t != t:
+            continue
+        inst += 1
+        poly = roi_string_to_polygon(p.points)
+        mask[polygon_to_mask(poly, shape)] = inst
+    return mask
+
+
+def _mask_to_rois(mask: np.ndarray, t: int = 0, z: int = 0) -> List[RoiPolygon]:
+    return [RoiPolygon(t=t, z=z, points=" ".join(f"{x},{y}" for x, y in poly))
+            for poly in mask_to_polygons(mask).values()]
+
+
+# ---------------------------------------------------------------------------
+# Trainset export (reference data_export.py:18-116)
+# ---------------------------------------------------------------------------
+
+def export_trainset(store: ImageStore, dataset_id: int, target_dir: Path,
+                    text_output: Callable[[str], None] = _noop,
+                    progress: Callable[[int], None] = _noop,
+                    should_stop: Callable[[], bool] = lambda: False) -> Optional[Path]:
+    """Download a trainset: rasterize ROIs to masks, renormalize with stored
+    per-crop min/max, write img_/mask_ TIFFs into {train,val,test}; skip
+    pre-labeled-but-uncorrected crops (reference :94-96)."""
+    name = store.dataset_name(dataset_id)
+    root = Path(target_dir) / name
+    for sub in ("train", "val", "test"):
+        (root / sub).mkdir(parents=True, exist_ok=True)
+    images = store.list_images(dataset_id)
+    for i, ref in enumerate(images):
+        if should_stop():
+            text_output("Stop export due to user interaction.")
+            import shutil
+            shutil.rmtree(root, ignore_errors=True)
+            return None
+        meta = store.get_map_annotation(ref.image_id)
+        subset = meta.get("set", "train")
+        pre_labeled = meta.get("pre_labeled", "False") == "True"
+        corrected = meta.get("last_modification", "") != ""
+        if pre_labeled and not corrected:
+            continue  # skip uncorrected pre-labels
+        img = store.get_plane(ref.image_id, 0, 0, 0)
+        polys = store.get_polygons(ref.image_id)
+        mask = _rasterize_rois(polys, 0, img.shape)
+        # renormalize to uint16 with stored frame stats (reference :99-101)
+        vmin = float(meta.get("min_frame", img.min()))
+        vmax = float(meta.get("max_frame", img.max()))
+        img01 = (min_max_normalization(img, vmin, vmax) + 1.0) / 2.0
+        img16 = (img01 * 65535).astype(np.uint16)
+        imwrite(root / subset / f"img_{ref.image_id}.tif", img16)
+        imwrite(root / subset / f"mask_{ref.image_id}.tif", mask)
+        progress(int(100 * (i + 1) / max(len(images), 1)))
+    return root
+
+
+# ---------------------------------------------------------------------------
+# Data import (reference data_import.py:17-286)
+# ---------------------------------------------------------------------------
+
+def import_data(store: ImageStore, dataset_id: int, img_paths: Sequence[Path],
+                mask_paths: Sequence[Path], crop_size: int,
+                split_probs: Tuple[float, float, float] = (0.8, 0.1, 0.1),
+                seed: int = 0,
+                text_output: Callable[[str], None] = _noop,
+                progress: Callable[[int], None] = _noop) -> List[int]:
+    """Import local img/mask pairs as crop images with metadata + ROIs.
+
+    Pads small images to crop_size or center-crops a grid, skipping
+    near-empty crops (reference :125-185); assigns train/val/test randomly by
+    probability (:188-194); uploads with the 15-key map annotation (:197-230)
+    and polygon ROIs (:240-256); maintains split_info.json (:258-272).
+    """
+    rng = np.random.default_rng(seed)
+    uploaded = []
+    split_info = {"used": [], "train": 0, "val": 0, "test": 0}
+    for n, (ip, mp) in enumerate(zip(img_paths, mask_paths)):
+        img = imread(ip)
+        mask = imread(mp) if mp is not None else None
+        if img.ndim == 3 and img.shape[-1] == 3:
+            img = img.mean(-1).astype(img.dtype)  # RGB -> grayscale
+        crops = _grid_crops(img, mask, crop_size)
+        for crop_img, crop_mask, (cy, cx) in crops:
+            subset = rng.choice(["train", "val", "test"], p=split_probs)
+            stats = dict(min_frame=float(crop_img.min()),
+                         max_frame=float(crop_img.max()),
+                         mean_frame=float(crop_img.mean()),
+                         std_frame=float(crop_img.std()))
+            iid = store.upload_image(dataset_id,
+                                     f"{Path(ip).stem}_{cy}_{cx}.tif",
+                                     crop_img.astype(np.uint16))
+            store.set_map_annotation(iid, {
+                "set": subset, "crop_y": cy, "crop_x": cx,
+                "source_file": Path(ip).name,
+                "pre_labeled": "False",
+                "last_modification": timestamp() if crop_mask is not None else "",
+                "upload_date": timestamp(), **stats})
+            if crop_mask is not None and crop_mask.max() > 0:
+                store.add_polygons(iid, _mask_to_rois(crop_mask))
+            split_info[subset] += 1
+            split_info["used"].append(Path(ip).name)
+            uploaded.append(iid)
+        progress(int(100 * (n + 1) / len(img_paths)))
+    # split_info.json attached dataset-wide via the first image
+    if uploaded:
+        tmp = Path(store.root if hasattr(store, "root") else ".") / "split_info.json"
+        tmp.write_text(json.dumps(split_info))
+        store.attach_file(uploaded[0], tmp, namespace="microbeseg.split_info")
+        tmp.unlink(missing_ok=True)
+    return uploaded
+
+
+def _grid_crops(img: np.ndarray, mask: Optional[np.ndarray], crop_size: int):
+    """Pad-to-crop or center grid crops, skipping near-empty mask crops."""
+    H, W = img.shape[:2]
+    out = []
+    if H <= crop_size or W <= crop_size:
+        ph, pw = max(crop_size - H, 0), max(crop_size - W, 0)
+        img_p = np.pad(img, ((0, ph), (0, pw)))
+        mask_p = np.pad(mask, ((0, ph), (0, pw))) if mask is not None else None
+        out.append((img_p[:crop_size, :crop_size],
+                    None if mask_p is None else mask_p[:crop_size, :crop_size],
+                    (0, 0)))
+        return out
+    ny, nx = H // crop_size, W // crop_size
+    oy = (H - ny * crop_size) // 2
+    ox = (W - nx * crop_size) // 2
+    for gy in range(ny):
+        for gx in range(nx):
+            y, x = oy + gy * crop_size, ox + gx * crop_size
+            ci = img[y:y + crop_size, x:x + crop_size]
+            cm = mask[y:y + crop_size, x:x + crop_size] if mask is not None else None
+            if cm is not None and (cm > 0).mean() < 0.005:
+                continue  # skip near-empty crops
+            out.append((ci, cm, (y, x)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Analysis (reference analysis.py:12-211)
+# ---------------------------------------------------------------------------
+
+def analyze_dataset(store: ImageStore, image_ids: Sequence[int],
+                    result_dir: Path,
+                    text_output: Callable[[str], None] = _noop,
+                    progress: Callable[[int], None] = _noop) -> List[Path]:
+    """Per-frame counts / areas / axis lengths from polygon ROIs, written to
+    CSV and attached under the analysis namespace."""
+    import jax.numpy as jnp
+    from microbeseg_tpu.ops.cc import relabel_sequential
+    from microbeseg_tpu.ops.regionprops import regionprops
+
+    result_dir = Path(result_dir)
+    result_dir.mkdir(parents=True, exist_ok=True)
+    outputs = []
+    for i, iid in enumerate(image_ids):
+        ref = store.get_image(iid)
+        polys = store.get_polygons(iid)
+        rows = []
+        for t in range(ref.size_t):
+            mask = _rasterize_rois(polys, t, (ref.size_y, ref.size_x))
+            n = int(mask.max())
+            if n == 0:
+                rows.append(dict(frame=t, cell_count=0, mean_area=0.0,
+                                 total_area=0.0, mean_major_axis=0.0,
+                                 mean_minor_axis=0.0))
+                continue
+            cap = max(16, 1 << (n - 1).bit_length())
+            labels = relabel_sequential(jnp.asarray(mask.astype(np.int32)),
+                                        max_labels=cap)
+            props = regionprops(labels, max_labels=cap)
+            areas = np.asarray(props.area)
+            present = areas > 0
+            rows.append(dict(
+                frame=t,
+                cell_count=int(present.sum()),
+                mean_area=float(areas[present].mean()),
+                total_area=float(areas[present].sum()),
+                mean_major_axis=float(
+                    np.asarray(props.major_axis_length)[present].mean()),
+                mean_minor_axis=float(
+                    np.asarray(props.minor_axis_length)[present].mean())))
+        df = pd.DataFrame(rows)
+        out = result_dir / f"analysis_{ref.name or iid}.csv"
+        df.to_csv(out, index=False)
+        store.delete_attachments(iid, namespace=ANALYSIS_NAMESPACE)
+        store.attach_file(iid, out, namespace=ANALYSIS_NAMESPACE)
+        outputs.append(out)
+        progress(int(100 * (i + 1) / len(image_ids)))
+    return outputs
+
+
+# ---------------------------------------------------------------------------
+# Result export (reference result_export.py:11-224)
+# ---------------------------------------------------------------------------
+
+def export_results(store: ImageStore, image_ids: Sequence[int],
+                   result_dir: Path,
+                   text_output: Callable[[str], None] = _noop,
+                   progress: Callable[[int], None] = _noop) -> None:
+    """Download planes + ROIs; write {stem}.tif, _mask.tif, _overlay.tif
+    (yellow outlines on grayscale), _outlines.tif, plus the analysis CSV."""
+    result_dir = Path(result_dir)
+    result_dir.mkdir(parents=True, exist_ok=True)
+    for i, iid in enumerate(image_ids):
+        ref = store.get_image(iid)
+        polys = store.get_polygons(iid)
+        frames, masks, overlays, outlines = [], [], [], []
+        for t in range(ref.size_t):
+            img = store.get_plane(iid, 0, 0, t)
+            mask = _rasterize_rois(polys, t, img.shape)
+            outline = _outline(mask)
+            img8 = (255 * (min_max_normalization(img) + 1) / 2).astype(np.uint8)
+            overlay = np.stack([img8] * 3, axis=-1)
+            overlay[outline] = (255, 255, 0)  # yellow
+            frames.append(img)
+            masks.append(mask)
+            overlays.append(overlay)
+            outlines.append(outline.astype(np.uint8) * 255)
+        stem = Path(ref.name).stem or str(iid)
+        imwrite(result_dir / f"{stem}.tif", np.squeeze(np.stack(frames)))
+        imwrite(result_dir / f"{stem}_mask.tif", np.squeeze(np.stack(masks)))
+        imwrite(result_dir / f"{stem}_outlines.tif",
+                np.squeeze(np.stack(outlines)))
+        if len(overlays) == 1:
+            imwrite(result_dir / f"{stem}_overlay.tif", overlays[0])
+        for name in store.list_attachments(iid, namespace=ANALYSIS_NAMESPACE):
+            store.download_attachment(iid, name, result_dir / name)
+        progress(int(100 * (i + 1) / len(image_ids)))
+
+
+def _outline(mask: np.ndarray) -> np.ndarray:
+    """Instance outlines: pixels whose 4-neighbor has a different label."""
+    m = np.asarray(mask)
+    out = np.zeros(m.shape, bool)
+    out[:-1] |= (m[:-1] != m[1:]) & (m[:-1] > 0)
+    out[1:] |= (m[1:] != m[:-1]) & (m[1:] > 0)
+    out[:, :-1] |= (m[:, :-1] != m[:, 1:]) & (m[:, :-1] > 0)
+    out[:, 1:] |= (m[:, 1:] != m[:, :-1]) & (m[:, 1:] > 0)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Crop creation with pre-labeling (reference data_cropping.py + GUI logic)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Crop:
+    image_id: int
+    frame: int
+    y: int
+    x: int
+    img: np.ndarray
+    display: np.ndarray
+    rois: List[RoiPolygon]
+    overlay: Optional[np.ndarray]
+
+
+class CropGenerator:
+    """Builds the shuffled crop list (<=40% of frames, <=30 per experiment,
+    used-frame dedup; reference microbe_seg_gui.py:2144-2149, 2247-2287) and
+    yields 1-3 random crop windows per frame along the longer axis
+    (data_cropping.py:157-199), with optional model pre-labeling."""
+
+    def __init__(self, store: ImageStore, crop_size: int,
+                 engine=None, used: Optional[set] = None, seed: int = 0):
+        self.store = store
+        self.crop_size = crop_size
+        self.engine = engine
+        self.used = used or set()
+        self.rng = np.random.default_rng(seed)
+
+    def crop_list(self, dataset_id: int) -> List[Tuple[int, int]]:
+        items = []
+        for ref in self.store.list_images(dataset_id):
+            if ref.size_z > 1:
+                continue  # skip z-stacks
+            if min(ref.size_y, ref.size_x) < self.crop_size:
+                continue  # too small
+            n = max(1, int(0.4 * ref.size_t))
+            n = min(n, 30)
+            frames = self.rng.permutation(ref.size_t)[:n]
+            for t in frames:
+                if (ref.image_id, int(t)) in self.used:
+                    continue
+                items.append((ref.image_id, int(t)))
+        self.rng.shuffle(items)
+        return items
+
+    def next_crops(self, image_id: int, frame: int) -> List[Crop]:
+        img = self.store.get_plane(image_id, 0, 0, frame)
+        H, W = img.shape
+        cs = self.crop_size
+        n = 3 if max(H, W) >= 3 * cs else (2 if max(H, W) >= 2 * cs else 1)
+        crops = []
+        for _ in range(n):
+            y = int(self.rng.integers(0, max(H - cs, 0) + 1))
+            x = int(self.rng.integers(0, max(W - cs, 0) + 1))
+            crop = img[y:y + cs, x:x + cs]
+            display = (255 * (min_max_normalization(crop) + 1) / 2).astype(np.uint8)
+            rois, overlay = [], None
+            if self.engine is not None:
+                mask = self.engine.segment(crop)
+                rois = _mask_to_rois(mask)
+                outline = _outline(mask)
+                overlay = np.stack([display] * 3, axis=-1)
+                overlay[outline] = (255, 255, 0)
+            crops.append(Crop(image_id=image_id, frame=frame, y=y, x=x,
+                              img=crop, display=display, rois=rois,
+                              overlay=overlay))
+        return crops
+
+    def upload_crop(self, crop: Crop, trainset_id: int, subset: str) -> int:
+        stats = dict(min_frame=float(crop.img.min()),
+                     max_frame=float(crop.img.max()),
+                     mean_frame=float(crop.img.mean()),
+                     std_frame=float(crop.img.std()))
+        iid = self.store.upload_image(
+            trainset_id, f"crop_{crop.image_id}_{crop.frame}_{crop.y}_{crop.x}.tif",
+            crop.img.astype(np.uint16))
+        self.store.set_map_annotation(iid, {
+            "set": subset, "source_image": crop.image_id,
+            "frame": crop.frame, "crop_y": crop.y, "crop_x": crop.x,
+            "pre_labeled": str(bool(crop.rois)),
+            "last_modification": "", "upload_date": timestamp(), **stats})
+        if crop.rois:
+            self.store.add_polygons(iid, crop.rois)
+        self.used.add((crop.image_id, crop.frame))
+        return iid
+
+
+def split_assignment(counter: int) -> str:
+    """Deterministic 4/2/2-then-cycle train/val/test assignment
+    (reference microbe_seg_gui.py:2848-2865)."""
+    pattern = ["train", "train", "train", "train", "val", "val", "test", "test"]
+    return pattern[counter % len(pattern)]
+
+
+# ---------------------------------------------------------------------------
+# OMERO-dataset inference (reference infer.py:22-390)
+# ---------------------------------------------------------------------------
+
+def infer_dataset(store: ImageStore, image_ids: Sequence[int], engine,
+                  model_name: str, upload: bool = True,
+                  overwrite: bool = False,
+                  result_dir: Optional[Path] = None,
+                  text_output: Callable[[str], None] = _noop,
+                  progress: Callable[[int], None] = _noop,
+                  should_stop: Callable[[], bool] = lambda: False) -> None:
+    """Segment stored images: skip z-stacks / already-processed (map
+    annotations 'inference_model'/'inference_date'); overwrite deletes old
+    ROIs; frames are batched through the engine (reference loops batch=1);
+    results go back as polygon ROIs + annotations, or local TIFFs."""
+    for i, iid in enumerate(image_ids):
+        if should_stop():
+            text_output("Stop inference due to user interaction.")
+            return
+        ref = store.get_image(iid)
+        if ref.size_z > 1:
+            text_output(f"Skip {ref.name} (z-stacks not supported)")
+            continue
+        meta = store.get_map_annotation(iid)
+        if not overwrite and meta.get("inference_model"):
+            text_output(f"Skip {ref.name} (already processed)")
+            continue
+        if overwrite:
+            store.delete_polygons(iid)
+        frames = np.stack([store.get_plane(iid, 0, 0, t)
+                           for t in range(ref.size_t)])
+        masks = engine.segment(frames)
+        if masks.ndim == 2:
+            masks = masks[None]
+        if upload:
+            rois = []
+            for t in range(masks.shape[0]):
+                rois.extend(_mask_to_rois(masks[t], t=t))
+            store.add_polygons(iid, rois)
+            store.set_map_annotation(iid, {"inference_model": model_name,
+                                           "inference_date": timestamp()})
+        if result_dir is not None:
+            result_dir = Path(result_dir)
+            result_dir.mkdir(parents=True, exist_ok=True)
+            imwrite(result_dir / f"mask_{Path(ref.name).stem or iid}.tif",
+                    np.squeeze(masks))
+        progress(int(100 * (i + 1) / len(image_ids)))

@@ -1,0 +1,202 @@
+"""Client-layer tests: contours, LocalStore, and the data-management workers
+against the store fake (SURVEY.md §4(e))."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from scipy import ndimage
+
+from microbeseg_tpu.client.contours import (
+    get_indices_pandas,
+    mask_to_polygons,
+    polygon_to_mask,
+    roi_string_to_polygon,
+    trace_boundary,
+)
+from microbeseg_tpu.client.store import LocalStore, RoiPolygon
+from microbeseg_tpu.client.workers import (
+    CropGenerator,
+    _mask_to_rois,
+    _rasterize_rois,
+    analyze_dataset,
+    export_results,
+    export_trainset,
+    import_data,
+    infer_dataset,
+    split_assignment,
+)
+from microbeseg_tpu.utils.tiff import imread, imwrite
+from tests.conftest import synthetic_blobs
+
+
+class TestContours:
+    def test_disk_roundtrip(self):
+        yy, xx = np.mgrid[0:30, 0:30]
+        disk = (yy - 15) ** 2 + (xx - 15) ** 2 <= 64
+        polys = mask_to_polygons(disk.astype(np.uint16))
+        m = polygon_to_mask(polys[1], disk.shape)
+        iou = (m & disk).sum() / (m | disk).sum()
+        assert iou > 0.98
+
+    def test_contour_on_boundary(self):
+        L = np.zeros((10, 10), bool)
+        L[2:8, 2:4] = True
+        L[6:8, 2:8] = True
+        c = trace_boundary(L)
+        b = L & ~ndimage.binary_erosion(L)
+        assert len(c) == b.sum()
+        assert all(b[y, x] for y, x in c)
+
+    def test_multi_instance_roundtrip(self, blobs):
+        polys = mask_to_polygons(blobs)
+        assert len(polys) == len(np.unique(blobs)) - 1
+        recon = np.zeros_like(blobs)
+        for inst_id, poly in polys.items():
+            recon[polygon_to_mask(poly, blobs.shape)] = inst_id
+        agree = (recon > 0) == (blobs > 0)
+        assert agree.mean() > 0.97
+
+    def test_roi_string_roundtrip(self):
+        poly = np.array([[1, 2], [3, 4], [5, 6]])
+        s = " ".join(f"{x},{y}" for x, y in poly)
+        np.testing.assert_allclose(roi_string_to_polygon(s), poly)
+
+    def test_indices(self):
+        m = np.array([[0, 2], [2, 3]])
+        idx = get_indices_pandas(m)
+        assert set(idx.keys()) == {2, 3}
+        ys, xs = idx[2]
+        assert sorted(zip(ys.tolist(), xs.tolist())) == [(0, 1), (1, 0)]
+
+
+class TestLocalStore:
+    def test_image_roundtrip(self, tmp_path, rng):
+        store = LocalStore(tmp_path)
+        did = store.create_dataset("experiment1")
+        stack = rng.integers(0, 65535, (3, 20, 25)).astype(np.uint16)
+        iid = store.upload_image(did, "stack.tif", stack)
+        ref = store.get_image(iid)
+        assert (ref.size_t, ref.size_y, ref.size_x) == (3, 20, 25)
+        np.testing.assert_array_equal(store.get_plane(iid, 0, 0, 1), stack[1])
+        assert store.list_images(did)[0].image_id == iid
+
+    def test_annotations_and_rois(self, tmp_path):
+        store = LocalStore(tmp_path)
+        did = store.create_dataset("d")
+        iid = store.upload_image(did, "x.tif", np.zeros((5, 5), np.uint16))
+        store.set_map_annotation(iid, {"set": "train", "min_frame": 3})
+        assert store.get_map_annotation(iid)["set"] == "train"
+        store.add_polygons(iid, [RoiPolygon(t=0, z=0, points="1,1 3,1 3,3")])
+        assert len(store.get_polygons(iid)) == 1
+        store.delete_polygons(iid)
+        assert store.get_polygons(iid) == []
+
+    def test_attachments(self, tmp_path):
+        store = LocalStore(tmp_path / "store")
+        did = store.create_dataset("d")
+        iid = store.upload_image(did, "x.tif", np.zeros((5, 5), np.uint16))
+        f = tmp_path / "a.csv"
+        f.write_text("x\n1\n")
+        store.attach_file(iid, f, namespace="ns1")
+        assert store.list_attachments(iid, namespace="ns1") == ["a.csv"]
+        out = store.download_attachment(iid, "a.csv", tmp_path / "b.csv")
+        assert out.read_text() == "x\n1\n"
+        store.delete_attachments(iid, namespace="ns1")
+        assert store.list_attachments(iid) == []
+
+
+class TestWorkersRoundtrip:
+    def _store_with_trainset(self, tmp_path, rng, n=6):
+        store = LocalStore(tmp_path / "store")
+        did = store.create_dataset("trainset320")
+        img_paths, mask_paths = [], []
+        src = tmp_path / "src"
+        src.mkdir()
+        for i in range(n):
+            mask = synthetic_blobs(rng, shape=(48, 48), n_blobs=4)
+            img = ((mask > 0) * 30000 + 2000).astype(np.uint16)
+            ip, mp = src / f"im{i}.tif", src / f"ma{i}.tif"
+            imwrite(ip, img)
+            imwrite(mp, mask)
+            img_paths.append(ip)
+            mask_paths.append(mp)
+        ids = import_data(store, did, img_paths, mask_paths, crop_size=48,
+                          split_probs=(0.5, 0.3, 0.2), seed=1)
+        return store, did, ids
+
+    def test_import_export_roundtrip(self, tmp_path, rng):
+        store, did, ids = self._store_with_trainset(tmp_path, rng)
+        assert len(ids) == 6
+        root = export_trainset(store, did, tmp_path / "export")
+        assert root is not None
+        imgs = list(root.glob("*/img_*.tif"))
+        masks = list(root.glob("*/mask_*.tif"))
+        assert len(imgs) == 6 and len(masks) == 6
+        # masks rasterized from ROIs approximate the originals
+        m = imread(masks[0])
+        assert m.max() >= 1
+
+    def test_analysis(self, tmp_path, rng):
+        store, did, ids = self._store_with_trainset(tmp_path, rng, n=2)
+        outs = analyze_dataset(store, ids[:1], tmp_path / "analysis")
+        df = pd.read_csv(outs[0])
+        assert df.iloc[0]["cell_count"] >= 1
+        assert df.iloc[0]["mean_area"] > 0
+        from microbeseg_tpu.client.store import ANALYSIS_NAMESPACE
+        assert store.list_attachments(ids[0], namespace=ANALYSIS_NAMESPACE)
+
+    def test_result_export(self, tmp_path, rng):
+        store, did, ids = self._store_with_trainset(tmp_path, rng, n=2)
+        export_results(store, ids[:1], tmp_path / "results")
+        ref = store.get_image(ids[0])
+        stem = ref.name.rsplit(".", 1)[0]
+        out = tmp_path / "results"
+        assert (out / f"{stem}.tif").exists()
+        assert (out / f"{stem}_mask.tif").exists()
+        assert (out / f"{stem}_overlay.tif").exists()
+        assert (out / f"{stem}_outlines.tif").exists()
+
+    def test_infer_dataset_with_dummy_engine(self, tmp_path, rng):
+        store, did, ids = self._store_with_trainset(tmp_path, rng, n=2)
+        store.delete_polygons(ids[0])
+        store.set_map_annotation(ids[0], {"inference_model": ""})
+
+        class DummyEngine:
+            def segment(self, frames):
+                m = np.zeros(frames.shape, np.uint16)
+                m[..., 5:15, 5:15] = 1
+                return m
+
+        infer_dataset(store, ids[:1], DummyEngine(), model_name="m01",
+                      result_dir=tmp_path / "masks")
+        assert store.get_map_annotation(ids[0])["inference_model"] == "m01"
+        assert len(store.get_polygons(ids[0])) >= 1
+        assert len(list((tmp_path / "masks").glob("mask_*.tif"))) == 1
+
+    def test_rasterize_mask_rois_roundtrip(self, rng):
+        mask = synthetic_blobs(rng, shape=(40, 40), n_blobs=3)
+        rois = _mask_to_rois(mask)
+        back = _rasterize_rois(rois, 0, mask.shape)
+        agree = (back > 0) == (mask > 0)
+        assert agree.mean() > 0.97
+
+
+class TestCropGenerator:
+    def test_crop_list_and_crops(self, tmp_path, rng):
+        store = LocalStore(tmp_path)
+        did = store.create_dataset("exp")
+        stack = rng.integers(0, 65535, (10, 96, 200)).astype(np.uint16)
+        iid = store.upload_image(did, "movie.tif", stack)
+        gen = CropGenerator(store, crop_size=64, seed=0)
+        items = gen.crop_list(did)
+        assert 1 <= len(items) <= 4  # <= 40% of 10 frames
+        crops = gen.next_crops(*items[0])
+        assert len(crops) == 3  # 200 >= 3*64
+        assert crops[0].img.shape == (64, 64)
+        tid = store.create_dataset("trainset")
+        cid = gen.upload_crop(crops[0], tid, split_assignment(0))
+        assert store.get_map_annotation(cid)["set"] == "train"
+
+    def test_split_assignment_pattern(self):
+        seq = [split_assignment(i) for i in range(8)]
+        assert seq == ["train"] * 4 + ["val"] * 2 + ["test"] * 2

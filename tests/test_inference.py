@@ -1,0 +1,155 @@
+"""Inference engine tests: padding round-trip, batching, tiled stitching,
+and the evaluator's artifact contract."""
+
+import json
+
+import numpy as np
+import pytest
+
+from microbeseg_tpu.config import EvalConfig, InferConfig, ModelConfig, TrainConfig
+from microbeseg_tpu.inference.engine import InferenceEngine
+from microbeseg_tpu.inference.tiling import (
+    extract_tiles,
+    stitch_predictions,
+    tile_positions,
+)
+from tests.conftest import synthetic_blobs
+from tests.oracles import distance_label_oracle, regionprops_oracle
+
+
+class AnalyticModel:
+    """Stand-in 'model' whose prediction is an analytic function of the
+    input: cell head = input rescaled to [0, 1], border head = 0.  Exercises
+    the full engine path (padding, batching, tiling, post-processing)
+    without training."""
+
+    def apply(self, variables, images, train=False):
+        x01 = (images[..., 0] + 1.0) / 2.0
+        cell = x01[..., None]
+        border = (x01 * 0.0)[..., None]
+        return border, cell
+
+
+def _frames_from_blobs(rng, n=3, shape=(60, 70)):
+    frames = []
+    for _ in range(n):
+        mask = synthetic_blobs(rng, shape=shape, n_blobs=4)
+        props = regionprops_oracle(mask)
+        mal = max(p["major_axis_length"] for p in props)
+        cell, _ = distance_label_oracle(mask, int(np.ceil(0.75 * mal)))
+        img = (cell * 50000 + 1000).astype(np.uint16)
+        frames.append(img)
+    return np.stack(frames)
+
+
+class TestTiling:
+    def test_positions_cover(self):
+        starts = tile_positions(100, 40, 8)
+        assert starts[0] == 0 and starts[-1] == 60
+        covered = np.zeros(100, bool)
+        for s in starts:
+            covered[s:s + 40] = True
+        assert covered.all()
+
+    def test_single_tile(self):
+        assert tile_positions(30, 40, 8) == [0]
+
+    def test_stitch_constant(self, rng):
+        img = rng.random((96, 96)).astype(np.float32)
+        tiles, pos = extract_tiles(img, 48, 16)
+        back = stitch_predictions(tiles, pos, img.shape)
+        np.testing.assert_allclose(back, img, atol=1e-5)
+
+
+class TestEngine:
+    def _engine(self, **kw):
+        return InferenceEngine(AnalyticModel(), {}, "distance",
+                               cfg=InferConfig(**kw))
+
+    def test_predict_shapes_depad(self, rng):
+        frames = _frames_from_blobs(rng, n=3, shape=(60, 70))
+        border, cell = self._engine(batch_size=2).predict_raw(frames)
+        assert border.shape == (3, 60, 70)
+        assert cell.shape == (3, 60, 70)
+        # analytic model: cell == normalized input; padding must not leak
+        x01 = (frames[0].astype(np.float32) - frames[0].min()) / (
+            frames[0].max() - frames[0].min())
+        np.testing.assert_allclose(cell[0], x01, atol=1e-4)
+
+    def test_segment_finds_instances(self, rng):
+        frames = _frames_from_blobs(rng, n=1)
+        masks = self._engine().segment(frames)
+        assert masks.shape == frames.shape
+        assert masks.dtype == np.uint16
+        assert masks.max() >= 2  # several blobs found
+
+    def test_segment_2d_squeeze(self, rng):
+        frames = _frames_from_blobs(rng, n=1)
+        mask = self._engine().segment(frames[0])
+        assert mask.shape == frames[0].shape
+
+    def test_tiled_matches_full(self, rng):
+        frames = _frames_from_blobs(rng, n=1, shape=(96, 96))
+        full_b, full_c = self._engine().predict_raw(frames)
+        tiled_engine = self._engine(use_tiling=True, tile_size=64,
+                                    tile_overlap=16, batch_size=2)
+        til_b, til_c = tiled_engine.predict_raw(frames)
+        # analytic model is shift-invariant => stitched == full
+        np.testing.assert_allclose(til_c, full_c, atol=1e-4)
+
+    def test_segment_grid(self, rng):
+        frames = _frames_from_blobs(rng, n=1)
+        ths = [(0.05, 0.35), (0.10, 0.45)]
+        grid = self._engine().segment_grid(frames[0], ths)
+        assert grid.shape == (2, *frames[0].shape)
+
+
+class TestEvaluatorArtifacts:
+    def test_artifact_contract(self, tmp_path, rng):
+        """Random-weight tiny model through the full eval pipeline: check the
+        per-threshold dirs collapse to best, scores.csv + aggregated csv +
+        test_set.zip exist."""
+        import jax
+        from microbeseg_tpu.evaluation.evaluator import Evaluator
+        from microbeseg_tpu.models.io import save_model
+        from microbeseg_tpu.models.unet import build_unet
+
+        # trainset dir with test split
+        data = tmp_path / "trainset"
+        (data / "test").mkdir(parents=True)
+        for i in range(2):
+            mask = synthetic_blobs(rng, shape=(64, 64), n_blobs=3)
+            img = ((mask > 0) * 30000 + 1000).astype(np.uint16)
+            from microbeseg_tpu.utils.tiff import imwrite
+            imwrite(data / "test" / f"img_{i:02d}.tif", img)
+            imwrite(data / "test" / f"mask_{i:02d}.tif", mask)
+
+        # tiny random model checkpoint
+        mcfg = ModelConfig(filters=(8, 16))
+        model = build_unet(mcfg)
+        variables = model.init(jax.random.PRNGKey(0),
+                               np.zeros((1, 64, 64, 1), np.float32),
+                               train=False)
+        models_dir = tmp_path / "models" / "trainset"
+        cfg = TrainConfig(model=mcfg, run_name="distance_model_01",
+                          batch_size=2)
+        save_model(dict(variables), cfg, models_dir)
+
+        results = tmp_path / "eval" / "trainset"
+        results.mkdir(parents=True)
+        ev = Evaluator(EvalConfig(th_cells=(0.05, 0.10), th_seeds=(0.45,)))
+        df = ev.evaluate(data, results, [models_dir / "distance_model_01"])
+        assert df is not None and len(df) == 1
+
+        out_dir = results / "trainset_distance_model_01"
+        assert (out_dir / "scores.csv").exists()
+        assert (out_dir / "test_set.zip").exists()
+        # threshold subdirs collapsed, best masks at top level
+        assert sorted(p.name for p in out_dir.glob("mask*.tif")) == \
+            ["mask_00.tif", "mask_01.tif"]
+        assert not any(p.is_dir() for p in out_dir.iterdir())
+        agg = results.parent / "trainset.csv"
+        assert agg.exists()
+        row = df.iloc[0]
+        assert row["th_cell"] in (0.05, 0.10)
+        assert len(row["test set version"]) == 10

@@ -1,0 +1,94 @@
+"""Metric tests: AJI+/AJI/PQ/Dice semantics on hand-checkable cases."""
+
+import numpy as np
+
+from microbeseg_tpu.evaluation.metrics import (
+    get_dice_1,
+    get_fast_aji,
+    get_fast_aji_plus,
+    get_fast_dice_2,
+    get_fast_pq,
+    remap_label,
+)
+
+
+def two_cells(shift=0):
+    m = np.zeros((40, 40), np.int32)
+    m[5:15, 5:15] = 1
+    m[25 + shift:35 + shift, 5:15] = 2
+    return m
+
+
+class TestAJIPlus:
+    def test_perfect(self):
+        m = two_cells()
+        assert get_fast_aji_plus(m, m) == 1.0
+
+    def test_disjoint(self):
+        a = np.zeros((20, 20), np.int32)
+        a[:5, :5] = 1
+        b = np.zeros((20, 20), np.int32)
+        b[10:15, 10:15] = 1
+        assert get_fast_aji_plus(a, b) == 0.0
+
+    def test_half_overlap(self):
+        a = np.zeros((20, 20), np.int32)
+        a[0:10, 0:10] = 1
+        b = np.zeros((20, 20), np.int32)
+        b[0:10, 5:15] = 1
+        # inter 50, union 150
+        assert np.isclose(get_fast_aji_plus(a, b), 50 / 150)
+
+    def test_one_to_one_pairing_beats_greedy(self):
+        """AJI+ Hungarian pairing: a pred overlapping two GTs pairs with only
+        one; the other GT counts as unpaired union."""
+        t = np.zeros((10, 30), np.int32)
+        t[:, 0:10] = 1
+        t[:, 12:22] = 2
+        p = np.zeros((10, 30), np.int32)
+        p[:, 0:22] = 1  # one blob covering both
+        score_plus = get_fast_aji_plus(t, p)
+        assert 0 < score_plus < 0.5
+
+    def test_empty_prediction(self):
+        m = two_cells()
+        assert get_fast_aji_plus(m, np.zeros_like(m)) == 0.0
+
+    def test_aji_le_aji_plus(self):
+        rng = np.random.default_rng(3)
+        t = (rng.random((30, 30)) > 0.6).astype(np.int32)
+        from scipy import ndimage
+        t, _ = ndimage.label(t)
+        p = np.roll(t, 2, axis=0)
+        assert get_fast_aji(t, p) <= get_fast_aji_plus(t, p) + 1e-9
+
+
+class TestPQ:
+    def test_perfect(self):
+        m = two_cells()
+        [dq, sq, pq], _ = get_fast_pq(m, m)
+        assert dq == 1.0 and np.isclose(sq, 1.0, atol=1e-5) and np.isclose(pq, 1.0, atol=1e-5)
+
+    def test_missing_instance(self):
+        t = two_cells()
+        p = np.where(t == 2, 0, t)
+        [dq, sq, pq], _ = get_fast_pq(t, p)
+        assert np.isclose(dq, 1 / (1 + 0.5))  # 1 TP, 1 FN
+
+
+class TestDice:
+    def test_dice1(self):
+        t = two_cells()
+        assert get_dice_1(t, t) == 1.0
+        assert get_dice_1(t, np.zeros_like(t)) == 0.0
+
+    def test_dice2_perfect(self):
+        t = two_cells()
+        assert np.isclose(get_fast_dice_2(t, t), 1.0)
+
+
+class TestRemap:
+    def test_remap(self):
+        m = np.array([[0, 5], [9, 5]])
+        out = remap_label(m)
+        np.testing.assert_array_equal(out, [[0, 1], [2, 1]])
