@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from microbeseg_tpu.ops.cc import connected_components, relabel_sequential
 from microbeseg_tpu.ops.filters import gaussian_filter
-from microbeseg_tpu.ops.watershed import watershed
+from microbeseg_tpu.ops.watershed import watershed, watershed_fast
 
 
 def _prune_small_seeds(seeds: jnp.ndarray, min_area_floor: float,
@@ -37,17 +37,20 @@ def _prune_small_seeds(seeds: jnp.ndarray, min_area_floor: float,
     return jnp.where(kept, seeds, 0)
 
 
-@partial(jax.jit, static_argnames=("max_seeds", "n_levels"))
+@partial(jax.jit, static_argnames=("max_seeds", "n_levels", "method"))
 def distance_postprocessing(border_prediction: jnp.ndarray,
                             cell_prediction: jnp.ndarray,
                             th_seed, th_cell,
                             max_seeds: int = 256,
-                            n_levels: int = 128) -> jnp.ndarray:
+                            n_levels: int = 128,
+                            method: str = "flood") -> jnp.ndarray:
     """Distance-method post-processing (reference :7-59).
 
     border_prediction / cell_prediction: float (H, W).  th_seed / th_cell may
     be traced scalars (the eval grid vmaps over them).  Returns uint16
-    instance mask.
+    instance mask.  method: 'flood' = quantized priority flood (closest to
+    skimage semantics); 'fast' = drainage labeling + flood cleanup (~25x
+    fewer full-image passes, parity-tested >= 0.99 IoU).
     """
     cell = gaussian_filter(cell_prediction.astype(jnp.float32), sigma=0.5)
     border = jnp.clip(border_prediction.astype(jnp.float32), 0.0, 1.0)
@@ -64,7 +67,10 @@ def distance_postprocessing(border_prediction: jnp.ndarray,
     seeds = _prune_small_seeds(seeds, min_area_floor=4.0, rel_mean=0.10,
                                max_seeds=max_seeds)
 
-    labels = watershed(-cell, seeds, mask, n_levels=n_levels)
+    if method == "fast":
+        labels = watershed_fast(-cell, seeds, mask)
+    else:
+        labels = watershed(-cell, seeds, mask, n_levels=n_levels)
     labels = relabel_sequential(labels, max_labels=max_seeds)
     return labels.astype(jnp.uint16)
 

@@ -173,3 +173,41 @@ class TestWatershed:
         ours = np.asarray(watershed(-cell, seeds, mask))
         assert set(np.unique(ours)) == {0, 1}
         np.testing.assert_array_equal(ours > 0, mask)
+
+
+class TestWatershedFast:
+    def _cells(self, rng, shape=(64, 64), centers=((20, 20), (20, 40), (44, 30))):
+        h, w = shape
+        yy, xx = np.mgrid[0:h, 0:w]
+        cell = np.zeros(shape, np.float32)
+        for cy, cx in centers:
+            d = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+            cell = np.maximum(cell, np.clip(1 - d / 12.0, 0, 1))
+        return cell
+
+    def test_parity_with_flood_oracle(self, rng):
+        from microbeseg_tpu.ops.watershed import watershed_fast
+        cell = self._cells(rng)
+        mask = cell > 0.1
+        seeds = label_oracle(cell > 0.6)
+        ours = np.asarray(watershed_fast(-cell, seeds, mask))
+        ref = watershed_oracle(-cell, seeds, mask)
+        np.testing.assert_array_equal(ours > 0, np.asarray(ref) > 0)
+        assert len(np.unique(ours)) == len(np.unique(ref))
+        assert masks_iou(ours, ref) > 0.99
+
+    def test_parity_on_random_blob_fields(self, rng):
+        """Fast vs exact-ish flood on realistic blob prediction fields."""
+        from microbeseg_tpu.ops.postprocessing import distance_postprocessing
+        from tests.conftest import synthetic_blobs
+        from tests.oracles import distance_label_oracle, regionprops_oracle
+        mask = synthetic_blobs(rng, shape=(96, 96), n_blobs=7)
+        props = regionprops_oracle(mask)
+        mal = max(p["major_axis_length"] for p in props)
+        cell, nb = distance_label_oracle(mask, int(np.ceil(0.75 * mal)))
+        slow = np.asarray(distance_postprocessing(nb, cell, 0.45, 0.10))
+        fast = np.asarray(distance_postprocessing(nb, cell, 0.45, 0.10,
+                                                  method="fast"))
+        np.testing.assert_array_equal(fast > 0, slow > 0)
+        assert len(np.unique(fast)) == len(np.unique(slow))
+        assert masks_iou(fast, slow) > 0.99
