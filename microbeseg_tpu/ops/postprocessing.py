@@ -69,6 +69,9 @@ def distance_postprocessing(border_prediction: jnp.ndarray,
 
     if method == "fast":
         labels = watershed_fast(-cell, seeds, mask)
+    elif method == "pallas":
+        from microbeseg_tpu.ops.pallas.flood import flood_or_fallback
+        labels = flood_or_fallback(-cell, seeds, mask, n_levels=n_levels)
     else:
         labels = watershed(-cell, seeds, mask, n_levels=n_levels)
     labels = relabel_sequential(labels, max_labels=max_seeds)
