@@ -6,11 +6,14 @@ DUNet (64 -> 1024 filters) forward pass + fused on-device post-processing
 the work the reference does per frame at batch 1 with a CPU watershed
 (reference: src/inference/infer.py:328-376, src/inference/postprocessing.py:7-59).
 
-Method: the two stages are timed separately on realistic inputs (the conv
-stack's runtime is content-independent; the watershed's is not, so it gets
-distance-field-like inputs from real blob predictions), each over many
-iterations with varying inputs and a data dependence between iterations to
-defeat any caching.  The headline crops/sec combines both stages.
+Timing methodology (the axon TPU tunnel has ~25 ms per-call round-trip
+latency and caches async results, so naive host-side timing is unusable):
+each stage is iterated inside ONE jitted lax.scan with a data dependence
+between iterations, the scalar result is fetched to the host, and the
+per-crop time is the slope between an n-iteration and a 2n-iteration run —
+constant dispatch/fetch overhead cancels.  The forward stage's runtime is
+content-independent; the post-processing stage gets distance-field-like
+inputs (its flood/convergence loops are content-dependent).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -21,7 +24,9 @@ watershed post-processing per 256^2 crop.
 """
 
 import json
+import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -51,7 +56,6 @@ def _blob_predictions(rng, n):
     stage: cones around random centers, touching pairs included."""
     yy, xx = np.mgrid[0:SIZE, 0:SIZE]
     cells = np.zeros((n, SIZE, SIZE), np.float32)
-    borders = np.zeros((n, SIZE, SIZE), np.float32)
     for i in range(n):
         cell = np.zeros((SIZE, SIZE), np.float32)
         for _ in range(24):
@@ -60,8 +64,25 @@ def _blob_predictions(rng, n):
             d = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
             cell = np.maximum(cell, np.clip(1 - d / r, 0, 1))
         cells[i] = cell
-        borders[i] = np.clip(cell - np.roll(cell, 3, axis=0), 0, 0.3)
+    borders = np.clip(cells - np.roll(cells, 3, axis=1), 0, 0.3)
     return borders, cells
+
+
+def _slope_ms(run, args, n, trials=3, batch=BATCH):
+    """Per-crop ms from the (n, 2n) runtime slope, median over trials."""
+    float(run(*args, 1e-9, n))
+    float(run(*args, 1e-9, 2 * n))
+    slopes = []
+    for t in range(trials):
+        s = 1e-8 * (t + 1)
+        t0 = time.perf_counter()
+        float(run(*args, s, n))
+        d1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(run(*args, s, 2 * n))
+        d2 = time.perf_counter() - t0
+        slopes.append((d2 - d1) / (n * batch))
+    return 1e3 * float(np.median(slopes))
 
 
 def main():
@@ -76,49 +97,38 @@ def main():
     variables = _random_variables(model, images)
 
     # ---- stage 1: forward ------------------------------------------------
-    from functools import partial
-
     @partial(jax.jit, static_argnames=("n",))
-    def fwd_chain(variables, x, n):
+    def fwd_chain(variables, x, s, n):
         def body(carry, _):
             border, cell = model.apply(variables, carry, train=False)
-            # data dependence between iterations defeats result caching
-            nxt = carry + 1e-6 * jnp.concatenate([cell], axis=-1)
-            return nxt, (border[0, 0, 0, 0] + cell[0, 0, 0, 0])
-        carry, outs = jax.lax.scan(body, x, None, length=n)
+            return carry + s * cell, border[0, 0, 0, 0] + cell[0, 0, 0, 0]
+        _, outs = jax.lax.scan(body, x, None, length=n)
         return outs.sum()
 
-    n_fwd = 20
-    fwd_chain(variables, images, 2).block_until_ready()  # compile
-    t0 = time.perf_counter()
-    fwd_chain(variables, images, n_fwd).block_until_ready()
-    t_ref = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    fwd_chain(variables, images, 2 * n_fwd).block_until_ready()
-    t_2x = time.perf_counter() - t0
-    fwd_per_crop = (t_2x - t_ref) / (n_fwd * BATCH)  # slope removes overhead
+    fwd_ms = _slope_ms(lambda v, x, s, n: fwd_chain(v, x, s, n),
+                       (variables, images), n=10)
 
     # ---- stage 2: post-processing ---------------------------------------
     borders_np, cells_np = _blob_predictions(rng, BATCH)
     borders = jnp.asarray(borders_np)
     cells = jnp.asarray(cells_np)
-    post = jax.jit(jax.vmap(
-        lambda b, c: distance_postprocessing(b, c, 0.45, 0.10,
-                                             method="fast")))
-    post(borders, cells).block_until_ready()  # compile
-    n_post = 5
-    t0 = time.perf_counter()
-    for i in range(n_post):
-        masks = post(borders + 1e-7 * i, cells + 1e-7 * i)
-    masks.block_until_ready()
-    t_post = time.perf_counter() - t0
-    post_per_crop = t_post / (n_post * BATCH)
 
-    per_crop = fwd_per_crop + post_per_crop
-    crops_per_sec = 1.0 / per_crop
-    import sys
-    print(f"# fwd {1e3 * fwd_per_crop:.3f} ms/crop, "
-          f"post {1e3 * post_per_crop:.3f} ms/crop", file=sys.stderr)
+    @partial(jax.jit, static_argnames=("n",))
+    def post_chain(cells, borders, s, n):
+        def body(carry, _):
+            masks = jax.vmap(lambda b, c: distance_postprocessing(
+                b, c, 0.45, 0.10))(borders, carry)
+            return carry + s, masks.astype(jnp.float32).sum()
+        _, outs = jax.lax.scan(body, cells, None, length=n)
+        return outs.sum()
+
+    post_ms = _slope_ms(lambda c, b, s, n: post_chain(c, b, s, n),
+                        (cells, borders), n=25)
+
+    per_crop_ms = max(fwd_ms, 0.0) + max(post_ms, 0.0)
+    crops_per_sec = 1e3 / per_crop_ms
+    print(f"# fwd {fwd_ms:.3f} ms/crop, post {post_ms:.3f} ms/crop",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "256^2 crops/sec/chip (DUNet fwd + on-device watershed postproc)",
         "value": round(crops_per_sec, 2),

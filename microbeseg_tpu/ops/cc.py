@@ -38,17 +38,31 @@ def _neighbor_max(labels: jnp.ndarray, se: np.ndarray) -> jnp.ndarray:
     return out
 
 
-@partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+@partial(jax.jit, static_argnames=("connectivity", "max_iters",
+                                   "pointer_jumping", "steps_per_check"))
 def connected_components(mask: jnp.ndarray, connectivity: int = 2,
-                         max_iters: int = 64) -> jnp.ndarray:
+                         max_iters: int = 0,
+                         pointer_jumping: bool = False,
+                         steps_per_check: int = 4) -> jnp.ndarray:
     """Label connected regions of a boolean mask.
 
     connectivity: 2 = 8-connected (skimage.measure.label default for 2D),
     1 = 4-connected.  Returns int32 (H, W), 0 for background, arbitrary
     positive ids per component.
+
+    TPU note: plain neighbor-max propagation converges in O(component
+    diameter) sweeps of cheap VPU work; the pointer-jumping variant converges
+    in O(log diameter) but each jump is a full-image gather, which costs
+    ~milliseconds on TPU (measured 9+ ms/crop at 256^2) vs microseconds for
+    the sweeps — so jumping is off by default and propagation runs
+    ``steps_per_check`` sweeps between convergence reductions.
+    max_iters: 0 -> H + W (covers convex-ish regions; pass more or enable
+    pointer_jumping for pathological snakes).
     """
     mask = mask.astype(bool)
     H, W = mask.shape
+    if max_iters == 0:
+        max_iters = H + W
     se = generate_binary_structure(2, connectivity)
     idx = (jnp.arange(H * W, dtype=jnp.int32) + 1).reshape(H, W)
     labels0 = jnp.where(mask, idx, 0)
@@ -59,15 +73,17 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 2,
 
     def body(state):
         labels, _, it = state
-        new = jnp.where(mask, _neighbor_max(labels, se), 0)
-        # pointer jumping: chase the stored index twice (path compression)
-        flat = new.reshape(-1)
-        for _ in range(2):
-            target = jnp.maximum(flat - 1, 0)
-            jumped = flat[target]
-            flat = jnp.where(flat > 0, jnp.maximum(flat, jumped), 0)
-        new = flat.reshape(H, W)
-        return new, jnp.any(new != labels), it + 1
+        new = labels
+        for _ in range(steps_per_check):
+            new = jnp.where(mask, _neighbor_max(new, se), 0)
+        if pointer_jumping:
+            flat = new.reshape(-1)
+            for _ in range(2):
+                target = jnp.maximum(flat - 1, 0)
+                jumped = flat[target]
+                flat = jnp.where(flat > 0, jnp.maximum(flat, jumped), 0)
+            new = flat.reshape(H, W)
+        return new, jnp.any(new != labels), it + steps_per_check
 
     labels, _, _ = jax.lax.while_loop(
         cond, body, (labels0, jnp.array(True), jnp.int32(0)))
@@ -87,7 +103,8 @@ def relabel_sequential(labels: jnp.ndarray, max_labels: int = 256,
     are preserved — callers bound instance counts structurally.
     """
     labels = labels.astype(jnp.int32)
-    bound = id_bound if id_bound else labels.size
+    # default bound covers CC linear-index ids (<= size) and uint16 mask ids
+    bound = id_bound if id_bound else max(labels.size, 65535)
     flat = labels.reshape(-1)
     present = jnp.zeros((bound + 1,), jnp.int32).at[
         jnp.clip(flat, 0, bound)].set(1)

@@ -22,19 +22,26 @@ from microbeseg_tpu.ops.watershed import watershed, watershed_fast
 
 
 def _prune_small_seeds(seeds: jnp.ndarray, min_area_floor: float,
-                       rel_mean: float, max_seeds: int) -> jnp.ndarray:
-    """Drop seed components with area <= max(rel_mean * mean_area, floor)."""
-    flat = seeds.reshape(-1)
-    seg = jnp.where(flat > 0, flat - 1, max_seeds)
-    areas = jax.ops.segment_sum(jnp.ones_like(flat, jnp.float32), seg,
-                                num_segments=max_seeds + 1)[:max_seeds]
+                       rel_mean: float, max_seeds: int = 0) -> jnp.ndarray:
+    """Drop seed components with area <= max(rel_mean * mean_area, floor).
+
+    Works directly on raw CC ids (linear-index convention, ids <= H*W) via a
+    scatter-add histogram — no compaction / segment capacity needed, and no
+    TPU-hostile sort.  ``max_seeds`` is accepted for call-site compatibility
+    and unused.
+    """
+    del max_seeds
+    flat = seeds.reshape(-1).astype(jnp.int32)
+    bound = seeds.size
+    areas = jnp.zeros((bound + 1,), jnp.float32).at[
+        jnp.clip(flat, 0, bound)].add(1.0)
+    areas = areas.at[0].set(0.0)
     n = jnp.sum(areas > 0)
     mean_area = jnp.sum(areas) / jnp.maximum(n, 1)
     min_area = jnp.where(n > 0, rel_mean * mean_area, 0.0)
     min_area = jnp.maximum(min_area, min_area_floor)
-    keep = areas > min_area
-    kept = keep[jnp.clip(seeds - 1, 0, max_seeds - 1)] & (seeds > 0)
-    return jnp.where(kept, seeds, 0)
+    kept = (areas[jnp.clip(flat, 0, bound)] > min_area) & (flat > 0)
+    return jnp.where(kept, flat, 0).reshape(seeds.shape)
 
 
 @partial(jax.jit, static_argnames=("max_seeds", "n_levels", "method"))
@@ -62,10 +69,9 @@ def distance_postprocessing(border_prediction: jnp.ndarray,
     borders = jnp.clip(borders, 0.0, 1.0)
     seeds_bin = (cell - borders) > th_seed
 
-    seeds = relabel_sequential(connected_components(seeds_bin),
-                               max_labels=max_seeds)
-    seeds = _prune_small_seeds(seeds, min_area_floor=4.0, rel_mean=0.10,
-                               max_seeds=max_seeds)
+    # prune on raw CC ids; a single compaction happens after the flood
+    seeds = _prune_small_seeds(connected_components(seeds_bin),
+                               min_area_floor=4.0, rel_mean=0.10)
 
     if method == "fast":
         labels = watershed_fast(-cell, seeds, mask)
@@ -89,10 +95,8 @@ def boundary_postprocessing(prediction: jnp.ndarray,
     mask = pred_bin == 1
 
     seeds_bin = (prediction[..., 1] * (1.0 - prediction[..., 2])) > 0.5
-    seeds = relabel_sequential(connected_components(seeds_bin),
-                               max_labels=max_seeds)
-    seeds = _prune_small_seeds(seeds, min_area_floor=4.0, rel_mean=0.0,
-                               max_seeds=max_seeds)
+    seeds = _prune_small_seeds(connected_components(seeds_bin),
+                               min_area_floor=4.0, rel_mean=0.0)
 
     labels = watershed(-mask.astype(jnp.float32), seeds, mask, n_levels=2)
     labels = relabel_sequential(labels, max_labels=max_seeds)
