@@ -1,0 +1,371 @@
+"""Qt main window: thin interactive shell over the headless workers.
+
+Workflow parity with the reference GUI (reference: src/microbe_seg_gui.py):
+dataset/trainset selection (:553-), crop creation with accept/reject keys
+1/2/3/space/s (:2121-2329, :2687-2811), training pipeline export -> labels ->
+train (:2602-2684), evaluation (:1039-1113), inference (:1546-1596), analysis
+and result export menus, Ctrl+C job cancellation (:2641), dark palette.
+
+Every long-running job is one of the headless worker functions running on a
+QThread; progress/text callbacks are bridged to Qt signals.  The data backend
+is an ImageStore (LocalStore directory or OMERO when omero-py is present).
+"""
+
+from __future__ import annotations
+
+import sys
+import threading
+from pathlib import Path
+
+from PyQt5.QtCore import QObject, Qt, QThread, pyqtSignal
+from PyQt5.QtGui import QColor, QImage, QKeySequence, QPalette, QPixmap
+from PyQt5.QtWidgets import (
+    QApplication,
+    QComboBox,
+    QFileDialog,
+    QGridLayout,
+    QHBoxLayout,
+    QLabel,
+    QLineEdit,
+    QMainWindow,
+    QMessageBox,
+    QProgressBar,
+    QPushButton,
+    QShortcut,
+    QSpinBox,
+    QTextEdit,
+    QVBoxLayout,
+    QWidget,
+)
+
+import numpy as np
+
+
+class WorkerBridge(QObject):
+    """Runs a headless worker callable on a QThread, bridging the callback
+    contract (text_output / progress / should_stop) to Qt signals."""
+
+    finished = pyqtSignal(object)
+    progress = pyqtSignal(int)
+    text_output = pyqtSignal(str)
+
+    def __init__(self, fn, *args, **kwargs):
+        super().__init__()
+        self._fn = fn
+        self._args = args
+        self._kwargs = kwargs
+        self._stop = threading.Event()
+
+    def stop(self):
+        self._stop.set()
+
+    def run(self):
+        try:
+            result = self._fn(*self._args,
+                              text_output=self.text_output.emit,
+                              progress=self.progress.emit,
+                              should_stop=self._stop.is_set,
+                              **self._kwargs)
+        except Exception as exc:  # surface errors in the log pane
+            self.text_output.emit(f"Error: {exc}")
+            result = None
+        self.finished.emit(result)
+
+
+def _np_to_pixmap(arr: np.ndarray) -> QPixmap:
+    arr = np.ascontiguousarray(arr)
+    if arr.ndim == 2:
+        img = QImage(arr.data, arr.shape[1], arr.shape[0], arr.shape[1],
+                     QImage.Format_Grayscale8)
+    else:
+        img = QImage(arr.data, arr.shape[1], arr.shape[0], 3 * arr.shape[1],
+                     QImage.Format_RGB888)
+    return QPixmap.fromImage(img.copy())
+
+
+class MicrobeSegMainWindow(QMainWindow):
+    def __init__(self, store_root: Path, model_path: Path,
+                 training_data_path: Path, eval_results_path: Path,
+                 inference_results_path: Path):
+        super().__init__()
+        from microbeseg_tpu.client.store import LocalStore
+
+        self.store = LocalStore(store_root)
+        self.model_path = Path(model_path)
+        self.training_data_path = Path(training_data_path)
+        self.eval_results_path = Path(eval_results_path)
+        self.inference_results_path = Path(inference_results_path)
+        self._threads = []
+        self._active_bridge = None
+        self._crops = []
+        self._crop_idx = 0
+        self._crop_counter = 0
+
+        self.setWindowTitle("microbeSEG-tpu")
+        self._build_ui()
+        self._apply_dark_palette()
+
+    # ------------------------------------------------------------------
+    def _build_ui(self):
+        central = QWidget()
+        layout = QGridLayout(central)
+
+        # dataset / trainset selection
+        layout.addWidget(QLabel("Dataset id:"), 0, 0)
+        self.dataset_box = QSpinBox()
+        self.dataset_box.setRange(1, 10 ** 6)
+        layout.addWidget(self.dataset_box, 0, 1)
+        layout.addWidget(QLabel("Trainset id:"), 0, 2)
+        self.trainset_box = QSpinBox()
+        self.trainset_box.setRange(1, 10 ** 6)
+        layout.addWidget(self.trainset_box, 0, 3)
+        layout.addWidget(QLabel("Crop size:"), 0, 4)
+        self.crop_size_box = QComboBox()
+        self.crop_size_box.addItems(["256", "320", "128"])
+        layout.addWidget(self.crop_size_box, 0, 5)
+
+        # workflow buttons
+        buttons = [
+            ("Create crops", self.on_create_crops),
+            ("Export trainset", self.on_export),
+            ("Train", self.on_train),
+            ("Evaluate", self.on_evaluate),
+            ("Inference", self.on_inference),
+            ("Analysis", self.on_analysis),
+            ("Export results", self.on_result_export),
+            ("Stop (Ctrl+C)", self.on_stop),
+        ]
+        row = 1
+        for i, (name, cb) in enumerate(buttons):
+            btn = QPushButton(name)
+            btn.clicked.connect(cb)
+            layout.addWidget(btn, row + i // 4, i % 4)
+
+        # crop review pane
+        self.crop_label = QLabel("crop preview")
+        self.crop_label.setMinimumSize(320, 320)
+        self.crop_label.setAlignment(Qt.AlignCenter)
+        layout.addWidget(self.crop_label, 3, 0, 3, 4)
+
+        # log + progress
+        self.log = QTextEdit()
+        self.log.setReadOnly(True)
+        layout.addWidget(self.log, 3, 4, 2, 2)
+        self.progress_bar = QProgressBar()
+        layout.addWidget(self.progress_bar, 5, 4, 1, 2)
+
+        self.setCentralWidget(central)
+        self.statusBar().showMessage("Ready")
+
+        # shortcuts (reference: Ctrl+C stop, 1/2/3/space/s crop keys, F1)
+        QShortcut(QKeySequence("Ctrl+C"), self, activated=self.on_stop)
+        QShortcut(QKeySequence("1"), self, activated=lambda: self.accept_crop(0))
+        QShortcut(QKeySequence("2"), self, activated=lambda: self.accept_crop(1))
+        QShortcut(QKeySequence("3"), self, activated=lambda: self.accept_crop(2))
+        QShortcut(QKeySequence(Qt.Key_Space), self, activated=self.skip_crop)
+        QShortcut(QKeySequence("S"), self, activated=self.skip_crop)
+        QShortcut(QKeySequence("F1"), self, activated=self.show_help)
+
+    def _apply_dark_palette(self):
+        palette = QPalette()
+        palette.setColor(QPalette.Window, QColor(53, 53, 53))
+        palette.setColor(QPalette.WindowText, Qt.white)
+        palette.setColor(QPalette.Base, QColor(35, 35, 35))
+        palette.setColor(QPalette.Text, Qt.white)
+        palette.setColor(QPalette.Button, QColor(53, 53, 53))
+        palette.setColor(QPalette.ButtonText, Qt.white)
+        palette.setColor(QPalette.Highlight, QColor(42, 130, 218))
+        QApplication.instance().setPalette(palette)
+
+    # ------------------------------------------------------------------
+    def _run_worker(self, fn, *args, on_done=None, **kwargs):
+        if self._active_bridge is not None:
+            QMessageBox.information(self, "Busy", "A job is already running.")
+            return
+        bridge = WorkerBridge(fn, *args, **kwargs)
+        thread = QThread()
+        bridge.moveToThread(thread)
+        bridge.text_output.connect(self.log.append)
+        bridge.progress.connect(self.progress_bar.setValue)
+
+        def done(result):
+            self.statusBar().showMessage("Ready")
+            self._active_bridge = None
+            thread.quit()
+            if on_done:
+                on_done(result)
+
+        bridge.finished.connect(done)
+        thread.started.connect(bridge.run)
+        self._threads.append((thread, bridge))
+        self._active_bridge = bridge
+        self.statusBar().showMessage("Busy")
+        thread.start()
+
+    def on_stop(self):
+        if self._active_bridge is not None:
+            self._active_bridge.stop()
+            self.log.append("Stop requested.")
+
+    def show_help(self):
+        QMessageBox.information(
+            self, "Help",
+            "1/2/3: accept crop · space/s: skip · Ctrl+C: stop job\n"
+            "Workflows match hip-satomi/microbeSEG; see docs/PARITY.md")
+
+    # ------------------------------------------------------------------
+    # workflows
+    # ------------------------------------------------------------------
+    def on_export(self):
+        from microbeseg_tpu.client.workers import export_trainset
+        self._run_worker(export_trainset, self.store,
+                         int(self.trainset_box.value()),
+                         self.training_data_path)
+
+    def on_train(self):
+        from microbeseg_tpu.training.workers import create_labels, run_training
+
+        trainset = self.store.dataset_name(int(self.trainset_box.value()))
+        path_data = self.training_data_path / trainset
+        models = self.model_path / trainset
+        models.mkdir(parents=True, exist_ok=True)
+
+        def pipeline(text_output, progress, should_stop):
+            if not create_labels(path_data, "distance",
+                                 text_output=text_output,
+                                 progress=progress, should_stop=should_stop):
+                return False
+            return run_training(path_data, models, "distance", 1, "ranger",
+                                4, text_output=text_output,
+                                progress=progress, should_stop=should_stop)
+
+        self._run_worker(pipeline)
+
+    def on_evaluate(self):
+        from microbeseg_tpu.evaluation.evaluator import Evaluator
+
+        trainset = self.store.dataset_name(int(self.trainset_box.value()))
+        models = sorted((self.model_path / trainset).glob("*.ckpt"))
+        if not models:
+            self.log.append("No models found.")
+            return
+
+        def job(text_output, progress, should_stop):
+            ev = Evaluator(text_output=text_output, progress=progress,
+                           should_stop=should_stop)
+            return ev.evaluate(self.training_data_path / trainset,
+                               self.eval_results_path / trainset, models)
+
+        self._run_worker(job)
+
+    def on_inference(self):
+        from microbeseg_tpu.client.workers import infer_dataset
+        from microbeseg_tpu.inference.engine import InferenceEngine
+
+        trainset = self.store.dataset_name(int(self.trainset_box.value()))
+        ckpts = sorted((self.model_path / trainset).glob("*.ckpt"))
+        if not ckpts:
+            self.log.append("No models found.")
+            return
+        engine = InferenceEngine.from_checkpoint(ckpts[-1])
+        ids = [r.image_id for r in
+               self.store.list_images(int(self.dataset_box.value()))]
+
+        def job(text_output, progress, should_stop):
+            return infer_dataset(self.store, ids, engine,
+                                 model_name=ckpts[-1].stem,
+                                 result_dir=self.inference_results_path,
+                                 text_output=text_output, progress=progress,
+                                 should_stop=should_stop)
+
+        self._run_worker(job)
+
+    def on_analysis(self):
+        from microbeseg_tpu.client.workers import analyze_dataset
+        ids = [r.image_id for r in
+               self.store.list_images(int(self.dataset_box.value()))]
+
+        def job(text_output, progress, should_stop):
+            return analyze_dataset(self.store, ids,
+                                   self.inference_results_path,
+                                   text_output=text_output,
+                                   progress=progress)
+
+        self._run_worker(job)
+
+    def on_result_export(self):
+        from microbeseg_tpu.client.workers import export_results
+        ids = [r.image_id for r in
+               self.store.list_images(int(self.dataset_box.value()))]
+
+        def job(text_output, progress, should_stop):
+            return export_results(self.store, ids,
+                                  self.inference_results_path,
+                                  text_output=text_output, progress=progress)
+
+        self._run_worker(job)
+
+    # ------------------------------------------------------------------
+    # interactive crop creation (reference :2121-2329)
+    # ------------------------------------------------------------------
+    def on_create_crops(self):
+        from microbeseg_tpu.client.workers import CropGenerator
+
+        self._crop_gen = CropGenerator(
+            self.store, crop_size=int(self.crop_size_box.currentText()))
+        self._crop_items = self._crop_gen.crop_list(
+            int(self.dataset_box.value()))
+        if not self._crop_items:
+            self.log.append("No frames available for cropping.")
+            return
+        self._next_crop_set()
+
+    def _next_crop_set(self):
+        if not self._crop_items:
+            self.log.append("Crop creation finished.")
+            return
+        image_id, frame = self._crop_items.pop()
+        self._crops = self._crop_gen.next_crops(image_id, frame)
+        self._crop_idx = 0
+        self._show_crop()
+
+    def _show_crop(self):
+        if not self._crops:
+            return
+        crop = self._crops[self._crop_idx]
+        disp = crop.overlay if crop.overlay is not None else crop.display
+        self.crop_label.setPixmap(_np_to_pixmap(disp))
+        self.statusBar().showMessage(
+            f"Crop {self._crop_idx + 1}/{len(self._crops)} — "
+            "1/2/3 accept, space/s skip")
+
+    def accept_crop(self, idx: int):
+        from microbeseg_tpu.client.workers import split_assignment
+        if not self._crops or idx >= len(self._crops):
+            return
+        subset = split_assignment(self._crop_counter)
+        self._crop_counter += 1
+        self._crop_gen.upload_crop(self._crops[idx],
+                                   int(self.trainset_box.value()), subset)
+        self.log.append(f"Crop accepted -> {subset}")
+        self._next_crop_set()
+
+    def skip_crop(self):
+        if not self._crops:
+            return
+        self._crop_idx = (self._crop_idx + 1) % len(self._crops)
+        self._show_crop()
+
+
+def run_gui(store_root: Path = Path("./store"),
+            model_path: Path = Path("./models"),
+            training_data_path: Path = Path("./training_dataset"),
+            eval_results_path: Path = Path("./evaluation"),
+            inference_results_path: Path = Path("./results")) -> int:
+    app = QApplication(sys.argv)
+    app.setStyle("Fusion")
+    win = MicrobeSegMainWindow(store_root, model_path, training_data_path,
+                               eval_results_path, inference_results_path)
+    win.resize(1100, 700)
+    win.show()
+    return app.exec_()

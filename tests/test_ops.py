@@ -105,7 +105,8 @@ class TestConnectedComponents:
         assert ours8[0, 0] == ours8[1, 1]
 
     def test_snake(self):
-        # long snaking component exercises pointer-jump convergence
+        # long snaking component (diameter ~ H*W/2): needs pointer jumping
+        # or an explicit iteration budget beyond the H+W default
         mask = np.zeros((32, 32), dtype=bool)
         for i in range(0, 32, 2):
             mask[i, :] = True
@@ -113,9 +114,12 @@ class TestConnectedComponents:
                 mask[i + 1, -1] = True
             elif i + 1 < 32:
                 mask[i + 1, 0] = True
-        ours = np.asarray(connected_components(mask))
+        ours = np.asarray(connected_components(mask, pointer_jumping=True,
+                                               max_iters=4096))
         ref = label_oracle(mask)
         assert partition_equal(ours, ref)
+        ours2 = np.asarray(connected_components(mask, max_iters=2048))
+        assert partition_equal(ours2, ref)
 
     def test_relabel_sequential(self):
         labels = np.array([[0, 5], [9, 5]], dtype=np.int32)
