@@ -25,7 +25,13 @@ _MOORE = [(0, -1), (-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1)]
 def trace_boundary(mask: np.ndarray) -> np.ndarray:
     """Trace the outer boundary of a binary object (Moore neighbor tracing
     with Jacob's stopping criterion).  Returns (n, 2) array of (y, x) pixel
-    coordinates, clockwise."""
+    coordinates, clockwise.  Uses the native C++ tracer when available
+    (native/contours.cpp); this Python path is the semantics-identical
+    fallback."""
+    from microbeseg_tpu.client.native import trace_boundary_native
+    native = trace_boundary_native(np.asarray(mask).astype(np.int32), 1)
+    if native is not None:
+        return native
     mask = np.asarray(mask).astype(bool)
     ys, xs = np.nonzero(mask)
     if len(ys) == 0:
@@ -108,7 +114,12 @@ def roi_string_to_polygon(points: str) -> np.ndarray:
 def polygon_to_mask(poly_xy: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:
     """Rasterize a polygon given as (n, 2) (x, y) vertices into a boolean
     mask (skimage.draw.polygon semantics: pixel centers inside the polygon,
-    boundary-inclusive via a half-open crossing test + explicit boundary)."""
+    boundary-inclusive via a half-open crossing test + explicit boundary).
+    Native C++ fast path when available."""
+    from microbeseg_tpu.client.native import rasterize_polygon_native
+    native = rasterize_polygon_native(np.asarray(poly_xy, np.float64), shape)
+    if native is not None:
+        return native
     H, W = shape
     poly = np.asarray(poly_xy, dtype=np.float64)
     if len(poly) < 3:

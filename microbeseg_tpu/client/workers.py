@@ -44,14 +44,17 @@ def _noop(*a, **k):
 
 def _rasterize_rois(polys: Sequence[RoiPolygon], t: int,
                     shape: Tuple[int, int]) -> np.ndarray:
-    """Polygon ROIs of frame t -> uint16 instance mask (one id per ROI)."""
+    """Polygon ROIs of frame t -> uint16 instance mask (one id per ROI).
+
+    Uses the batched native rasterizer (native/contours.cpp) when available;
+    per-polygon Python fallback otherwise (identical semantics)."""
+    frame_polys = [roi_string_to_polygon(p.points) for p in polys if p.t == t]
+    from microbeseg_tpu.client.native import rasterize_rois_native
+    native = rasterize_rois_native(frame_polys, shape)
+    if native is not None:
+        return native
     mask = np.zeros(shape, np.uint16)
-    inst = 0
-    for p in polys:
-        if p.t != t:
-            continue
-        inst += 1
-        poly = roi_string_to_polygon(p.points)
+    for inst, poly in enumerate(frame_polys, start=1):
         mask[polygon_to_mask(poly, shape)] = inst
     return mask
 

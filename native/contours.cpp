@@ -1,0 +1,174 @@
+// Native contour tracing + polygon rasterization.
+//
+// Host-side hot path: serializing instance masks to OMERO polygon ROIs runs
+// per instance per frame (reference uses cv2.findContours + shapely,
+// reference: src/utils/hull_polygon.py:44-89; here the Python fallback is
+// microbeseg_tpu/client/contours.py).  A 2D+t experiment can carry tens of
+// thousands of instances, so the tracing/rasterization loops are C++.
+//
+// Semantics MUST match the Python implementation exactly (tests compare
+// them): Moore neighbor tracing clockwise from the topmost-leftmost pixel
+// with Jacob's stopping criterion; crossing-number rasterization with
+// boundary-vertex inclusion.
+//
+// Build: g++ -O2 -shared -fPIC -o libmbs_contours.so contours.cpp
+// (done automatically by microbeseg_tpu/client/native.py).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// Moore neighborhood, clockwise, starting from W (matches _MOORE in
+// client/contours.py)
+const int MOORE_DY[8] = {0, -1, -1, -1, 0, 1, 1, 1};
+const int MOORE_DX[8] = {-1, -1, 0, 1, 1, 1, 0, -1};
+
+inline bool at(const int32_t* labels, int H, int W, int32_t id, int y, int x) {
+  return y >= 0 && y < H && x >= 0 && x < W && labels[y * W + x] == id;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Trace the outer boundary of the instance `id` in `labels` (H x W, int32).
+// Writes up to max_pts (y, x) pairs into out_yx; returns the number of
+// points, or -1 if the instance is absent, or -(n+1) if truncated.
+int mbs_trace_boundary(const int32_t* labels, int H, int W, int32_t id,
+                       int64_t* out_yx, int max_pts) {
+  // start: topmost-leftmost pixel
+  int sy = -1, sx = -1;
+  for (int y = 0; y < H && sy < 0; ++y) {
+    for (int x = 0; x < W; ++x) {
+      if (labels[y * W + x] == id) {
+        sy = y;
+        sx = x;
+        break;
+      }
+    }
+  }
+  if (sy < 0) return -1;
+
+  int n = 0;
+  auto push = [&](int y, int x) -> bool {
+    if (n >= max_pts) return false;
+    out_yx[2 * n] = y;
+    out_yx[2 * n + 1] = x;
+    ++n;
+    return true;
+  };
+  if (!push(sy, sx)) return -(n + 1);
+
+  int prev_dir = 0;  // backtrack direction index (W of start)
+  int cy = sy, cx = sx;
+  int fy = -1, fx = -1;  // first pixel visited after the start
+  long guard = 4L * H * W + 8;
+  while (guard-- > 0) {
+    bool found = false;
+    for (int k = 0; k < 8; ++k) {
+      int d = (prev_dir + 1 + k) % 8;
+      int ny = cy + MOORE_DY[d];
+      int nx = cx + MOORE_DX[d];
+      if (at(labels, H, W, id, ny, nx)) {
+        prev_dir = (d + 4) % 8;
+        cy = ny;
+        cx = nx;
+        found = true;
+        break;
+      }
+    }
+    if (!found) break;  // isolated pixel
+    if (fy < 0) {
+      fy = cy;
+      fx = cx;
+    } else if (cy == fy && cx == fx && out_yx[2 * (n - 1)] == sy &&
+               out_yx[2 * (n - 1) + 1] == sx) {
+      break;  // Jacob's criterion: revisit first move from the start pixel
+    }
+    if (!push(cy, cx)) return -(n + 1);
+  }
+  // drop the duplicated closing vertex if present
+  if (n > 1 && out_yx[2 * (n - 1)] == sy && out_yx[2 * (n - 1) + 1] == sx) {
+    --n;
+  }
+  return n;
+}
+
+// Rasterize a polygon given as n (x, y) float64 vertices into out (H x W,
+// uint8, 0/1).  Crossing-number inside test at pixel centers + explicit
+// boundary-vertex inclusion (matches polygon_to_mask in client/contours.py).
+void mbs_rasterize_polygon(const double* xy, int n, uint8_t* out, int H,
+                           int W) {
+  std::memset(out, 0, static_cast<size_t>(H) * W);
+  if (n < 3) {
+    for (int i = 0; i < n; ++i) {
+      int x = static_cast<int>(xy[2 * i] + 0.5);
+      int y = static_cast<int>(xy[2 * i + 1] + 0.5);
+      if (x < 0) x = 0;
+      if (x >= W) x = W - 1;
+      if (y < 0) y = 0;
+      if (y >= H) y = H - 1;
+      out[y * W + x] = 1;
+    }
+    return;
+  }
+  std::vector<double> xs(n), ys(n);
+  for (int i = 0; i < n; ++i) {
+    xs[i] = xy[2 * i];
+    ys[i] = xy[2 * i + 1];
+  }
+  for (int py = 0; py < H; ++py) {
+    double fy = py;
+    // collect x-intersections of edges crossing this scanline
+    std::vector<double> xints;
+    for (int i = 0; i < n; ++i) {
+      int j = (i + 1) % n;
+      double y1 = ys[i], y2 = ys[j];
+      if ((y1 <= fy && y2 > fy) || (y2 <= fy && y1 > fy)) {
+        double t = (fy - y1) / (y2 - y1);
+        xints.push_back(xs[i] + t * (xs[j] - xs[i]));
+      }
+    }
+    if (xints.empty()) continue;
+    for (int px = 0; px < W; ++px) {
+      int crossings = 0;
+      for (double xi : xints) {
+        if (static_cast<double>(px) < xi) ++crossings;
+      }
+      if (crossings & 1) out[py * W + px] = 1;
+    }
+  }
+  // boundary vertices (rounded) are included
+  for (int i = 0; i < n; ++i) {
+    int x = static_cast<int>(xs[i] + 0.5);
+    int y = static_cast<int>(ys[i] + 0.5);
+    if (x < 0) x = 0;
+    if (x >= W) x = W - 1;
+    if (y < 0) y = 0;
+    if (y >= H) y = H - 1;
+    out[y * W + x] = 1;
+  }
+}
+
+// Batched rasterization of all ROIs of one frame: polys given as a
+// concatenated (x, y) vertex array with per-polygon offsets; each polygon is
+// painted with its 1-based index into a uint16 label image.
+void mbs_rasterize_rois(const double* xy, const int64_t* offsets, int n_polys,
+                        uint16_t* out, int H, int W) {
+  std::memset(out, 0, static_cast<size_t>(H) * W * sizeof(uint16_t));
+  std::vector<uint8_t> scratch(static_cast<size_t>(H) * W);
+  for (int p = 0; p < n_polys; ++p) {
+    int64_t start = offsets[p];
+    int64_t end = offsets[p + 1];
+    int n = static_cast<int>(end - start);
+    mbs_rasterize_polygon(xy + 2 * start, n, scratch.data(), H, W);
+    uint16_t id = static_cast<uint16_t>(p + 1);
+    for (long i = 0; i < static_cast<long>(H) * W; ++i) {
+      if (scratch[i]) out[i] = id;
+    }
+  }
+}
+
+}  // extern "C"
