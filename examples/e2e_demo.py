@@ -42,7 +42,11 @@ def synth_sample(rng, size=128, n_blobs=10):
         mask[blob & (mask == 0)] = label
         d = np.sqrt(((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2)
         img += np.where(blob, 25000 * np.clip(1.2 - d, 0, 1.2), 0)
-    img = np.clip(img + rng.normal(0, 400, img.shape), 0, 65535)
+    img = img + rng.normal(0, 400, img.shape)
+    # trainset crops are full-range uint16 (the reference's export
+    # renormalizes with stored min/max, data_export.py:99-101; training then
+    # normalizes by 0..65535 while inference normalizes per frame)
+    img = (img - img.min()) / (img.max() - img.min()) * 65535
     return img.astype(np.uint16), mask
 
 

@@ -132,7 +132,16 @@ class InferenceEngine:
             [padded, np.zeros((n_pad, th, tw), np.float32)]) if n_pad else padded
         for s in range(0, padded.shape[0], bs):
             chunk = jnp.asarray(padded[s:s + bs][..., None])
-            outs.append(jax.device_get(fwd(chunk)))
+            try:
+                outs.append(jax.device_get(fwd(chunk)))
+            except Exception as exc:  # OOM fallback: zero predictions for
+                # the chunk (reference returns an all-zero mask per frame,
+                # infer.py:353-356, infer_script_local.py:136-140)
+                if "RESOURCE_EXHAUSTED" not in str(exc):
+                    raise
+                zero = np.zeros((bs, H, W), np.float32)
+                outs.append((zero, zero) if self.label_type == "distance"
+                            else np.zeros((bs, H, W, 3), np.float32))
         if self.label_type == "distance":
             border = np.concatenate([o[0] for o in outs])[:T]
             cell = np.concatenate([o[1] for o in outs])[:T]

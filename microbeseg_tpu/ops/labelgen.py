@@ -181,7 +181,9 @@ def _one_instance(label, inst_id, cy, cx, radius, S, chunk):
     sy, sx, vy, vx = _window_bounds(cy, cx, radius, H, W, S)
     win = jax.lax.dynamic_slice(label, (sy, sx), (S, S))
     valid = vy[:, None] & vx[None, :]
-    nucleus = (win == inst_id) & valid
+    # inst_id > 0 guard: absent vmap slots carry id 0, which would otherwise
+    # match the background
+    nucleus = (win == inst_id) & valid & (inst_id > 0)
 
     # cell distance (reference :289-298)
     d_cell = edt(nucleus, valid, chunk=chunk)
