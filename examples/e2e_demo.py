@@ -77,7 +77,8 @@ def main():
     print(f"labels done in {time.time() - t0:.1f}s", flush=True)
 
     # 3. train
-    cfg = TrainConfig(model=ModelConfig(filters=(16, 128), act_fun="mish"),
+    cfg = TrainConfig(model=ModelConfig(filters=(16, 128), act_fun="mish",
+                                    normalization="gn"),
                       optimizer="ranger", batch_size=8,
                       run_name="distance_model_01", max_epochs=args.epochs)
     data = TrainingData.from_directory(data_dir, label_type="distance")

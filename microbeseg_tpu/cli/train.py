@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Model path for saving")
     parser.add_argument("--num_devices", "-d", default=None, type=int,
                         help="Data-parallel devices (default: all)")
+    parser.add_argument("--normalization", "-n", default="gn", type=str,
+                        help='"gn" (default, robust) | "bn" (reference '
+                        'configuration) | "in"')
     parser.add_argument("--username", default=None, type=str, help="OMERO username")
     parser.add_argument("--password", default=None, type=str, help="OMERO password")
     parser.add_argument("--host", default=None, type=str, help="OMERO host")
@@ -86,6 +89,7 @@ def main(argv=None) -> int:
     ok = run_training(trainset_path, model_path, args.method.lower(),
                       args.iterations, args.optimizer.lower(),
                       args.batch_size, text_output=print,
-                      num_devices=args.num_devices, print_output=True)
+                      num_devices=args.num_devices, print_output=True,
+                      normalization=args.normalization)
     print("--- Finished ---")
     return 0 if ok else 1

@@ -74,10 +74,19 @@ def run_training(path_data: Path, path_models: Path, label_type: str,
                  should_stop: Callable[[], bool] = lambda: False,
                  num_devices: Optional[int] = None,
                  print_output: bool = False,
-                 seed: int = 0) -> bool:
+                 seed: int = 0,
+                 normalization: str = "gn") -> bool:
     """Train `iterations` models (reference TrainWorker.start_training,
     train.py:124-306): per-iteration unique run names, act-fun tied to the
     optimizer (mish <-> ranger, relu <-> adam; reference :174), OOM ladder.
+
+    normalization: default 'gn' — a documented deviation from the reference's
+    hard-coded 'bn' (train.py:187).  BatchNorm running statistics diverge
+    badly from batch statistics under small batches + heavy randomized
+    augmentation (eval-mode predictions collapse; measured on-TPU: AJI+ 0.0
+    with 'bn' vs 0.878 with 'gn' on the e2e demo), and GroupNorm needs no
+    cross-replica sync under data parallelism (SURVEY.md §5.8 flags exactly
+    this switch).  Pass 'bn' to reproduce the reference configuration.
     """
     path_data, path_models = Path(path_data), Path(path_models)
     if (len(list((path_data / "train").glob("mask*"))) < 2
@@ -105,7 +114,8 @@ def run_training(path_data: Path, path_models: Path, label_type: str,
             cfg = TrainConfig(
                 model=ModelConfig(
                     unet_type="DU" if label_type == "distance" else "U",
-                    act_fun=act_fun, pool_method="conv", normalization="bn",
+                    act_fun=act_fun, pool_method="conv",
+                    normalization=normalization,
                     ch_out=1 if label_type == "distance" else 3,
                     filters=filters),
                 label_type=label_type,
