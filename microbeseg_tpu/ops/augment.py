@@ -74,10 +74,14 @@ def clahe(img01: jnp.ndarray, clip_limit: float = 0.01, grid: int = 8,
     th, tw = H // grid, W // grid
     b = jnp.clip((img01 * nbins).astype(jnp.int32), 0, nbins - 1)
 
+    # per-tile histograms via one scatter-add (a one_hot+sum would stream
+    # H*W*nbins floats through HBM — ~67 MB per 256^2 image)
     tiles = b.reshape(grid, th, grid, tw).transpose(0, 2, 1, 3)
-    onehot = jax.nn.one_hot(tiles.reshape(grid, grid, -1), nbins,
-                            dtype=jnp.float32)
-    hist = jnp.sum(onehot, axis=2)                     # (grid, grid, nbins)
+    tile_idx = (jax.lax.broadcasted_iota(jnp.int32, (grid, grid), 0) * grid
+                + jax.lax.broadcasted_iota(jnp.int32, (grid, grid), 1))
+    flat_bins = (tile_idx[:, :, None, None] * nbins + tiles).reshape(-1)
+    hist = jnp.zeros((grid * grid * nbins,), jnp.float32).at[flat_bins].add(1.0)
+    hist = hist.reshape(grid, grid, nbins)
 
     limit = jnp.maximum(clip_limit * th * tw, 1.0)
     excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=-1, keepdims=True)
@@ -112,6 +116,21 @@ def clahe(img01: jnp.ndarray, clip_limit: float = 0.01, grid: int = 8,
 # Contrast family (reference Contrast :65-126)
 # ---------------------------------------------------------------------------
 
+def _hist_quantile(img, q, nbins: int = 1024):
+    """Histogram-based quantile (TPU sorts cost milliseconds at 256^2;
+    a 1024-bin histogram quantile is within 0.1% of the range — fine for a
+    stochastic contrast augmentation)."""
+    lo = img.min()
+    hi = img.max()
+    span = jnp.maximum(hi - lo, 1e-7)
+    b = jnp.clip(((img - lo) / span * nbins).astype(jnp.int32), 0, nbins - 1)
+    hist = jnp.zeros((nbins,), jnp.float32).at[b.reshape(-1)].add(1.0)
+    cdf = jnp.cumsum(hist) / img.size
+    # first bin whose cdf >= q -> left edge interpolation
+    idx = jnp.searchsorted(cdf, q)
+    return lo + (idx.astype(jnp.float32) + 0.5) / nbins * span
+
+
 def _contrast(key, img):
     """img: (H, W, 1) float32 in [0, 65535]."""
     k1, k2, k3 = jax.random.split(key, 3)
@@ -123,11 +142,10 @@ def _contrast(key, img):
 
     def stretch_branch(img):
         lo_hi = jax.random.randint(k2, (), 0, 2)
-        p_lo = jnp.where(lo_hi == 0, 0.2, 0.1)
-        p_hi = jnp.where(lo_hi == 0, 99.8, 99.9)
-        flat = img.reshape(-1)
-        p0 = jnp.percentile(flat, p_lo)
-        p1 = jnp.percentile(flat, p_hi)
+        p_lo = jnp.where(lo_hi == 0, 0.2, 0.1) / 100.0
+        p_hi = jnp.where(lo_hi == 0, 99.8, 99.9) / 100.0
+        p0 = _hist_quantile(img, p_lo)
+        p1 = _hist_quantile(img, p_hi)
         out = jnp.clip((img - p0) / jnp.maximum(p1 - p0, 1e-7), 0.0, 1.0)
         return out * UINT16_MAX
 

@@ -78,12 +78,24 @@ def lookahead(alpha: float = 0.5, k: int = 6) -> optax.GradientTransformation:
         step = state.step + 1
         sync = (step % k) == 0
 
-        new_updates = jax.tree.map(
-            lambda u, p, s: jnp.where(sync, s + alpha * (p + u - s) - p, u),
-            updates, params, state.slow)
-        new_slow = jax.tree.map(
-            lambda u, p, s: jnp.where(sync, s + alpha * (p + u - s), s),
-            updates, params, state.slow)
+        def synced(args):
+            updates, params, slow = args
+            new_u = jax.tree.map(
+                lambda u, p, s: s + alpha * (p + u - s) - p,
+                updates, params, slow)
+            new_s = jax.tree.map(
+                lambda u, p, s: s + alpha * (p + u - s),
+                updates, params, slow)
+            return new_u, new_s
+
+        def passthrough(args):
+            updates, params, slow = args
+            return updates, slow
+
+        # lax.cond so the 5-of-6 non-sync steps skip the extra full-parameter
+        # passes (the slow copy is ~185 MB of HBM traffic for the flagship)
+        new_updates, new_slow = jax.lax.cond(
+            sync, synced, passthrough, (updates, params, state.slow))
         return new_updates, LookaheadState(step=step, slow=new_slow)
 
     return optax.GradientTransformation(init_fn, update_fn)
