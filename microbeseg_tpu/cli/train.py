@@ -35,6 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--normalization", "-n", default="gn", type=str,
                         help='"gn" (default, robust) | "bn" (reference '
                         'configuration) | "in"')
+    parser.add_argument("--max_epochs", default=None, type=int,
+                        help="Override the dataset-size epoch heuristic")
     parser.add_argument("--username", default=None, type=str, help="OMERO username")
     parser.add_argument("--password", default=None, type=str, help="OMERO password")
     parser.add_argument("--host", default=None, type=str, help="OMERO host")
@@ -89,7 +91,8 @@ def main(argv=None) -> int:
     ok = run_training(trainset_path, model_path, args.method.lower(),
                       args.iterations, args.optimizer.lower(),
                       args.batch_size, text_output=print,
-                      num_devices=args.num_devices, print_output=True,
-                      normalization=args.normalization)
+                      num_devices=args.num_devices,
+                      normalization=args.normalization,
+                      max_epochs=args.max_epochs)
     print("--- Finished ---")
     return 0 if ok else 1

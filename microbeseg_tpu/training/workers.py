@@ -75,7 +75,8 @@ def run_training(path_data: Path, path_models: Path, label_type: str,
                  num_devices: Optional[int] = None,
                  print_output: bool = False,
                  seed: int = 0,
-                 normalization: str = "gn") -> bool:
+                 normalization: str = "gn",
+                 max_epochs: Optional[int] = None) -> bool:
     """Train `iterations` models (reference TrainWorker.start_training,
     train.py:124-306): per-iteration unique run names, act-fun tied to the
     optimizer (mish <-> ranger, relu <-> adam; reference :174), OOM ladder.
@@ -121,7 +122,8 @@ def run_training(path_data: Path, path_models: Path, label_type: str,
                 label_type=label_type,
                 loss="smooth_l1" if label_type == "distance" else "ce_dice",
                 optimizer=optimizer, batch_size=bs, run_name=run_name,
-                num_devices=num_devices, seed=seed + i)
+                num_devices=num_devices, seed=seed + i,
+                max_epochs=max_epochs)
             trainer = Trainer(cfg, path_models, text_output=text_output,
                               should_stop=should_stop,
                               progress=lambda p, i=i: progress(
