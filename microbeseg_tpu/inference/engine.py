@@ -160,36 +160,47 @@ class InferenceEngine:
         fwd = self._forward_fn(0, 0)
         bs = self.cfg.batch_size
 
-        if self.label_type == "distance":
-            borders = np.empty((T, H, W), np.float32)
-            cells = np.empty((T, H, W), np.float32)
-        else:
-            probs_out = np.empty((T, H, W, 3), np.float32)
-
+        # collect tiles across ALL frames so the device sees full batches
+        # regardless of per-frame tile counts (the spatial tiles ride the
+        # batch axis, which is also the mesh-sharded axis)
+        all_tiles, all_pos, frame_of = [], [], []
         for t in range(T):
             norm = self._normalize_batch(frames[t:t + 1])[0]
             tiles, pos = extract_tiles(norm, tile, overlap)
-            n = tiles.shape[0]
-            n_pad = (-n) % bs
-            if n_pad:
-                tiles = np.concatenate(
-                    [tiles, np.zeros((n_pad, tile, tile), np.float32)])
-            preds = []
-            for s in range(0, tiles.shape[0], bs):
-                chunk = jnp.asarray(tiles[s:s + bs][..., None])
-                preds.append(jax.device_get(fwd(chunk)))
-            if self.label_type == "distance":
-                border_t = np.concatenate([p[0] for p in preds])[:n]
-                cell_t = np.concatenate([p[1] for p in preds])[:n]
-                borders[t] = stitch_predictions(border_t, pos, (H, W))
-                cells[t] = stitch_predictions(cell_t, pos, (H, W))
-            else:
-                probs_t = np.concatenate(preds)[:n]
-                for c in range(3):
-                    probs_out[t, ..., c] = stitch_predictions(
-                        probs_t[..., c], pos, (H, W))
+            all_tiles.append(tiles)
+            all_pos.extend(pos)
+            frame_of.extend([t] * len(pos))
+        tiles = np.concatenate(all_tiles)
+        n = tiles.shape[0]
+        n_pad = (-n) % bs
+        if n_pad:
+            tiles = np.concatenate(
+                [tiles, np.zeros((n_pad, tile, tile), np.float32)])
+        preds = []
+        for s in range(0, tiles.shape[0], bs):
+            chunk = jnp.asarray(tiles[s:s + bs][..., None])
+            preds.append(jax.device_get(fwd(chunk)))
+
+        frame_of = np.asarray(frame_of)
         if self.label_type == "distance":
+            border_all = np.concatenate([p[0] for p in preds])[:n]
+            cell_all = np.concatenate([p[1] for p in preds])[:n]
+            borders = np.empty((T, H, W), np.float32)
+            cells = np.empty((T, H, W), np.float32)
+            for t in range(T):
+                sel = frame_of == t
+                pos_t = [p for p, m in zip(all_pos, sel) if m]
+                borders[t] = stitch_predictions(border_all[sel], pos_t, (H, W))
+                cells[t] = stitch_predictions(cell_all[sel], pos_t, (H, W))
             return borders, cells
+        probs_all = np.concatenate(preds)[:n]
+        probs_out = np.empty((T, H, W, 3), np.float32)
+        for t in range(T):
+            sel = frame_of == t
+            pos_t = [p for p, m in zip(all_pos, sel) if m]
+            for c in range(3):
+                probs_out[t, ..., c] = stitch_predictions(
+                    probs_all[sel][..., c], pos_t, (H, W))
         return (probs_out,)
 
     # ------------------------------------------------------------------
@@ -206,21 +217,24 @@ class InferenceEngine:
         th_seed = self.cfg.th_seed if th_seed is None else th_seed
 
         preds = self.predict_raw(frames)
+        T = frames.shape[0]
         masks = np.empty(frames.shape, np.uint16)
+        bs = self.cfg.batch_size
         if self.label_type == "distance":
             border, cell = preds
-            post = jax.jit(jax.vmap(partial(
-                distance_postprocessing,
-                max_seeds=self.max_seeds)), static_argnums=())
-            for t in range(frames.shape[0]):
-                masks[t] = np.asarray(distance_postprocessing(
-                    jnp.asarray(border[t]), jnp.asarray(cell[t]),
-                    th_seed, th_cell, max_seeds=self.max_seeds))
+            post = jax.jit(jax.vmap(
+                lambda b, c: distance_postprocessing(
+                    b, c, th_seed, th_cell, max_seeds=self.max_seeds)))
+            for s in range(0, T, bs):
+                chunk_b = jnp.asarray(border[s:s + bs])
+                chunk_c = jnp.asarray(cell[s:s + bs])
+                masks[s:s + bs] = np.asarray(post(chunk_b, chunk_c))
         else:
             (probs,) = preds
-            for t in range(frames.shape[0]):
-                masks[t] = np.asarray(boundary_postprocessing(
-                    jnp.asarray(probs[t]), max_seeds=self.max_seeds))
+            post = jax.jit(jax.vmap(
+                lambda p: boundary_postprocessing(p, max_seeds=self.max_seeds)))
+            for s in range(0, T, bs):
+                masks[s:s + bs] = np.asarray(post(jnp.asarray(probs[s:s + bs])))
         return masks[0] if squeeze else masks
 
     def segment_grid(self, frame: np.ndarray,
