@@ -118,40 +118,51 @@ class Evaluator:
 
     def _inference(self, engine: InferenceEngine, test_dir: Path,
                    ths, out_dir: Path) -> None:
+        """Predict the test set with same-shape images batched together (the
+        reference's eval DataLoader batches too, eval.py:361); the whole
+        threshold grid post-processes in one vmapped device call per image
+        (8 parallel floods instead of 8 sequential CPU watersheds)."""
+        import jax.numpy as jnp
+
+        from microbeseg_tpu.ops.postprocessing import (
+            distance_postprocessing_grid)
+
         img_paths = sorted(test_dir.glob("img*.tif"))
+        by_shape: dict = {}
         for p in img_paths:
+            img = imread(p)
+            by_shape.setdefault(img.shape, []).append((p, img))
+
+        for shape, items in by_shape.items():
             if self.should_stop():
                 return
-            file_id = p.stem.split("img")[-1]
-            img = imread(p)
-            if engine.label_type == "distance":
-                preds = engine.predict_raw(img[None])
-                border, cell = preds[0][0], preds[1][0]
-                grid = engine.segment_grid(img, np.asarray(ths, np.float32)) \
-                    if False else None
-                # one vmapped device call for the whole grid
-                from microbeseg_tpu.ops.postprocessing import (
-                    distance_postprocessing_grid)
-                import jax.numpy as jnp
-                masks = np.asarray(distance_postprocessing_grid(
-                    jnp.asarray(border), jnp.asarray(cell),
-                    np.asarray(ths, np.float32)))
-                for (th_cell, th_seed), mask in zip(ths, masks):
-                    sub = out_dir / f"{th_cell}_{th_seed}"
-                    sub.mkdir(exist_ok=True)
-                    imwrite(sub / f"mask{file_id}.tif", mask.astype(np.uint16))
+            stack = np.stack([img for _, img in items])
+            preds = engine.predict_raw(stack)
+            for i, (p, _) in enumerate(items):
+                file_id = p.stem.split("img")[-1]
+                if engine.label_type == "distance":
+                    border, cell = preds[0][i], preds[1][i]
+                    masks = np.asarray(distance_postprocessing_grid(
+                        jnp.asarray(border), jnp.asarray(cell),
+                        np.asarray(ths, np.float32)))
+                    for (th_cell, th_seed), mask in zip(ths, masks):
+                        sub = out_dir / f"{th_cell}_{th_seed}"
+                        sub.mkdir(exist_ok=True)
+                        imwrite(sub / f"mask{file_id}.tif",
+                                mask.astype(np.uint16))
+                        if self.cfg.save_raw_pred:
+                            raw = np.stack([cell, border])
+                            imwrite(sub / f"raw{file_id}.tif",
+                                    raw.astype(np.float32))
+                else:
+                    probs = preds[0][i]
+                    mask = np.asarray(
+                        boundary_postprocessing(jnp.asarray(probs)))
+                    imwrite(out_dir / f"mask{file_id}.tif",
+                            mask.astype(np.uint16))
                     if self.cfg.save_raw_pred:
-                        raw = np.stack([cell, border])
-                        imwrite(sub / f"raw{file_id}.tif",
-                                raw.astype(np.float32))
-            else:
-                (probs,) = engine.predict_raw(img[None])
-                import jax.numpy as jnp
-                mask = np.asarray(boundary_postprocessing(jnp.asarray(probs[0])))
-                imwrite(out_dir / f"mask{file_id}.tif", mask.astype(np.uint16))
-                if self.cfg.save_raw_pred:
-                    imwrite(out_dir / f"raw{file_id}.tif",
-                            probs[0].astype(np.float32))
+                        imwrite(out_dir / f"raw{file_id}.tif",
+                                probs.astype(np.float32))
 
     # ------------------------------------------------------------------
 
