@@ -80,26 +80,39 @@ def trace_boundary(mask: np.ndarray) -> np.ndarray:
     return np.array(contour, dtype=np.int64)
 
 
-def mask_to_polygons(labels: np.ndarray) -> Dict[int, np.ndarray]:
-    """Per-instance outer contours: {id: (n, 2) array of (x, y) vertices}
-    (the x-y order matches the OMERO polygon ROI string convention used by
-    the reference's cv2 path)."""
+def mask_to_polygons(labels: np.ndarray) -> Dict[int, List[np.ndarray]]:
+    """Per-instance outer contours: {id: [(n, 2) arrays of (x, y) vertices]}.
+
+    One contour per connected fragment of the instance (the reference's
+    cv2_countour returns a contour list per id, hull_polygon.py:44-89; like
+    the reference, holes yield only the covering outer contour — interior
+    hole contours are dropped for the ROI).  The x-y order matches the OMERO
+    polygon ROI string convention.
+    """
+    from scipy import ndimage
+
     labels = np.asarray(labels)
-    out: Dict[int, np.ndarray] = {}
+    out: Dict[int, List[np.ndarray]] = {}
     for inst_id in np.unique(labels):
         if inst_id == 0:
             continue
-        contour_yx = trace_boundary(labels == inst_id)
-        if len(contour_yx) == 0:
-            continue
-        out[int(inst_id)] = contour_yx[:, ::-1].copy()  # (x, y)
+        inst = labels == inst_id
+        frags, n_frags = ndimage.label(inst, structure=np.ones((3, 3)))
+        contours = []
+        for f in range(1, n_frags + 1):
+            contour_yx = trace_boundary(frags == f)
+            if len(contour_yx) == 0:
+                continue
+            contours.append(contour_yx[:, ::-1].copy())  # (x, y)
+        if contours:
+            out[int(inst_id)] = contours
     return out
 
 
-def polygons_to_roi_strings(polygons: Dict[int, np.ndarray]) -> List[str]:
-    """OMERO polygon ROI point strings: 'x1,y1 x2,y2 ...' per instance."""
+def polygons_to_roi_strings(polygons: Dict[int, List[np.ndarray]]) -> List[str]:
+    """OMERO polygon ROI point strings: 'x1,y1 x2,y2 ...' per contour."""
     return [" ".join(f"{x},{y}" for x, y in poly)
-            for poly in polygons.values()]
+            for contours in polygons.values() for poly in contours]
 
 
 def roi_string_to_polygon(points: str) -> np.ndarray:

@@ -61,7 +61,8 @@ def _rasterize_rois(polys: Sequence[RoiPolygon], t: int,
 
 def _mask_to_rois(mask: np.ndarray, t: int = 0, z: int = 0) -> List[RoiPolygon]:
     return [RoiPolygon(t=t, z=z, points=" ".join(f"{x},{y}" for x, y in poly))
-            for poly in mask_to_polygons(mask).values()]
+            for contours in mask_to_polygons(mask).values()
+            for poly in contours]
 
 
 # ---------------------------------------------------------------------------

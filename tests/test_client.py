@@ -30,11 +30,20 @@ from tests.conftest import synthetic_blobs
 
 
 class TestContours:
+    def test_multi_fragment_instance(self):
+        # one id split into two disconnected fragments -> two contours
+        m = np.zeros((20, 20), np.uint16)
+        m[2:6, 2:6] = 1
+        m[12:16, 12:16] = 1
+        polys = mask_to_polygons(m)
+        assert len(polys[1]) == 2
+
+
     def test_disk_roundtrip(self):
         yy, xx = np.mgrid[0:30, 0:30]
         disk = (yy - 15) ** 2 + (xx - 15) ** 2 <= 64
         polys = mask_to_polygons(disk.astype(np.uint16))
-        m = polygon_to_mask(polys[1], disk.shape)
+        m = polygon_to_mask(polys[1][0], disk.shape)
         iou = (m & disk).sum() / (m | disk).sum()
         assert iou > 0.98
 
@@ -51,8 +60,9 @@ class TestContours:
         polys = mask_to_polygons(blobs)
         assert len(polys) == len(np.unique(blobs)) - 1
         recon = np.zeros_like(blobs)
-        for inst_id, poly in polys.items():
-            recon[polygon_to_mask(poly, blobs.shape)] = inst_id
+        for inst_id, contours in polys.items():
+            for poly in contours:
+                recon[polygon_to_mask(poly, blobs.shape)] = inst_id
         agree = (recon > 0) == (blobs > 0)
         assert agree.mean() > 0.97
 

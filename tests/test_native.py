@@ -77,7 +77,8 @@ class TestNativeParity:
         blobs = synthetic_blobs(rng, shape=(64, 64), n_blobs=5)
         polys = mask_to_polygons(blobs)
         recon = np.zeros_like(blobs)
-        for inst_id, poly in polys.items():
-            recon[polygon_to_mask(poly, blobs.shape)] = inst_id
+        for inst_id, contours in polys.items():
+            for poly in contours:
+                recon[polygon_to_mask(poly, blobs.shape)] = inst_id
         agree = (recon > 0) == (blobs > 0)
         assert agree.mean() > 0.97
