@@ -109,10 +109,16 @@ def watershed_fast(image: jnp.ndarray, markers: jnp.ndarray,
     resolves every pixel to its local minimum in ~log2(HW) rounds; minima
     carrying a marker hand their label to the whole drainage basin.  Pixels
     draining into non-marker minima (rare on smoothed distance fields after
-    seed pruning) are filled by the ordered flood cleanup.  ~25x fewer
-    full-image passes than the level flood; basin boundaries land on the same
-    ridges of ``image``, so parity on smooth cell-distance predictions stays
-    within the quality gate (tested >= 0.99 IoU vs the heap oracle).
+    seed pruning) are filled by the ordered flood cleanup.  Basin boundaries
+    land on the same ridges of ``image``, so parity on smooth cell-distance
+    predictions stays within the quality gate (tested >= 0.99 IoU vs the heap
+    oracle).
+
+    Performance note: asymptotically fewer full-image passes than the level
+    flood, but the pointer-doubling rounds are full-image *gathers*, which
+    are slow on TPU — measured ~10 ms/crop at 256^2 vs <1 ms for the plain
+    flood.  Prefer this variant on CPU; on TPU use ``watershed`` (default) or
+    the Pallas in-VMEM flood.
     """
     shifts = _SHIFTS_4 if connectivity == 1 else _SHIFTS_8
     mask = mask.astype(bool)

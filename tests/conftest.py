@@ -25,8 +25,22 @@ os.environ["XLA_FLAGS"] = _flags.strip()
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+# A pytest plugin may import jax BEFORE this conftest runs, freezing the
+# ambient JAX_PLATFORMS=axon into jax's config defaults.  Backends are still
+# uninitialized at conftest time, so force the platform programmatically too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_sessionstart(session):
+    n = len(jax.devices())
+    assert n == 8, (
+        f"tests must run on 8 virtual CPU devices, got {jax.devices()} — "
+        "the TPU tunnel must stay free and sharding paths exercised")
 
 
 @pytest.fixture

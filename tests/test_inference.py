@@ -153,3 +153,20 @@ class TestEvaluatorArtifacts:
         row = df.iloc[0]
         assert row["th_cell"] in (0.05, 0.10)
         assert len(row["test set version"]) == 10
+
+
+class TestShardedEngine:
+    def test_mesh_sharded_forward(self, rng):
+        """Engine with an 8-device mesh: the frame batch is sharded over the
+        'data' axis (tiles/frames ride the mesh-sharded batch axis)."""
+        from microbeseg_tpu.parallel.mesh import get_mesh
+
+        mesh = get_mesh(8)
+        engine = InferenceEngine(AnalyticModel(), {}, "distance",
+                                 cfg=InferConfig(batch_size=8), mesh=mesh)
+        frames = _frames_from_blobs(rng, n=8, shape=(60, 70))
+        border, cell = engine.predict_raw(frames)
+        assert cell.shape == (8, 60, 70)
+        x01 = (frames[3].astype(np.float32) - frames[3].min()) / (
+            frames[3].max() - frames[3].min())
+        np.testing.assert_allclose(cell[3], x01, atol=1e-4)
