@@ -94,3 +94,27 @@ class TestBorderCorrection:
     def test_ids(self):
         mask = np.array([[0, 2], [5, 2]])
         np.testing.assert_array_equal(get_nucleus_ids(mask), [2, 5])
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        from microbeseg_tpu.utils.profiling import StepTimer
+        t = StepTimer()
+        with t.phase("train"):
+            pass
+        with t.phase("train"):
+            pass
+        with t.phase("val"):
+            pass
+        s = t.summary()
+        assert s["train"]["count"] == 2
+        assert s["val"]["count"] == 1
+        assert "train" in t.report()
+
+
+class TestNumLabels:
+    def test_num_labels(self):
+        import jax.numpy as jnp
+        from microbeseg_tpu.ops.cc import num_labels
+        labels = jnp.asarray([[0, 5], [9, 5]], dtype=jnp.int32)
+        assert int(num_labels(labels)) == 2
