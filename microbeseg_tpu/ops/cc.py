@@ -116,7 +116,7 @@ def relabel_sequential(labels: jnp.ndarray, max_labels: int = 256,
 
 def num_labels(labels: jnp.ndarray, max_labels: int = 256) -> jnp.ndarray:
     labels = labels.astype(jnp.int32)
-    bound = labels.size
+    bound = max(labels.size, 65535)  # same id-bound convention as relabel
     flat = labels.reshape(-1)
     present = jnp.zeros((bound + 1,), jnp.int32).at[
         jnp.clip(flat, 0, bound)].set(1)
