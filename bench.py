@@ -8,10 +8,11 @@ the work the reference does per frame at batch 1 with a CPU watershed
 
 Timing methodology (the axon TPU tunnel has ~25 ms per-call round-trip
 latency and caches async results, so naive host-side timing is unusable):
-each stage is iterated inside ONE jitted lax.scan with a data dependence
-between iterations, the scalar result is fetched to the host, and the
-per-crop time is the slope between an n-iteration and a 2n-iteration run —
-constant dispatch/fetch overhead cancels.  The forward stage's runtime is
+each stage is iterated inside ONE jitted fori_loop (traced trip count, so a
+single executable serves all runs) with a data dependence between
+iterations, the scalar result is fetched to the host, and the per-crop time
+is the slope between an n-iteration and a 2n-iteration run — constant
+dispatch/fetch overhead cancels.  The forward stage's runtime is
 content-independent; the post-processing stage gets distance-field-like
 inputs (its flood/convergence loops are content-dependent).
 
@@ -26,7 +27,7 @@ watershed post-processing per 256^2 crop.
 import json
 import sys
 import time
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
@@ -97,13 +98,16 @@ def main():
     variables = _random_variables(model, images)
 
     # ---- stage 1: forward ------------------------------------------------
-    @partial(jax.jit, static_argnames=("n",))
+    # fori_loop with a *traced* bound: one executable serves both the n and
+    # 2n timing runs (halves the compile cost of the benchmark)
+    @jax.jit
     def fwd_chain(variables, x, s, n):
-        def body(carry, _):
-            border, cell = model.apply(variables, carry, train=False)
-            return carry + s * cell, border[0, 0, 0, 0] + cell[0, 0, 0, 0]
-        _, outs = jax.lax.scan(body, x, None, length=n)
-        return outs.sum()
+        def body(_, carry):
+            x, acc = carry
+            border, cell = model.apply(variables, x, train=False)
+            return x + s * cell, acc + border[0, 0, 0, 0] + cell[0, 0, 0, 0]
+        _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
+        return acc
 
     fwd_ms = _slope_ms(lambda v, x, s, n: fwd_chain(v, x, s, n),
                        (variables, images), n=10)
@@ -113,14 +117,15 @@ def main():
     borders = jnp.asarray(borders_np)
     cells = jnp.asarray(cells_np)
 
-    @partial(jax.jit, static_argnames=("n",))
+    @jax.jit
     def post_chain(cells, borders, s, n):
-        def body(carry, _):
-            masks = jax.vmap(lambda b, c: distance_postprocessing(
-                b, c, 0.45, 0.10))(borders, carry)
-            return carry + s, masks.astype(jnp.float32).sum()
-        _, outs = jax.lax.scan(body, cells, None, length=n)
-        return outs.sum()
+        def body(_, carry):
+            c, acc = carry
+            masks = jax.vmap(lambda b, cc: distance_postprocessing(
+                b, cc, 0.45, 0.10))(borders, c)
+            return c + s, acc + masks.astype(jnp.float32).sum()
+        _, acc = jax.lax.fori_loop(0, n, body, (cells, jnp.float32(0)))
+        return acc
 
     post_ms = _slope_ms(lambda c, b, s, n: post_chain(c, b, s, n),
                         (cells, borders), n=25)
