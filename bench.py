@@ -25,6 +25,7 @@ watershed post-processing per 256^2 crop.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -86,6 +87,63 @@ def _slope_ms(run, args, n, trials=3, batch=BATCH):
     return 1e3 * float(np.median(slopes))
 
 
+def _train_slope_ms(model, images):
+    """Full train-step throughput (augment + fwd + bwd + Ranger update)."""
+    import optax
+
+    from microbeseg_tpu.config import TrainConfig
+    from microbeseg_tpu.ops.augment import augment_batch
+    from microbeseg_tpu.training.losses import get_loss
+    from microbeseg_tpu.training.optimizers import build_optimizer
+
+    cfg = TrainConfig(optimizer="ranger", batch_size=BATCH)
+    loss_fn = get_loss(cfg.loss, cfg.label_type)
+    per_sample = jax.vmap(loss_fn, in_axes=(0, 0))
+    tx, _ = build_optimizer(cfg)
+    rng = np.random.default_rng(1)
+    raw = jnp.asarray(rng.integers(0, 65535, images.shape).astype(np.float32))
+    labels = {
+        "border_label": jnp.asarray(
+            rng.random(images.shape).astype(np.float32)),
+        "cell_label": jnp.asarray(
+            rng.random(images.shape).astype(np.float32)),
+    }
+    variables = _random_variables(model, images)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_chain(params, opt_state, key, s, n):
+        def step(_, carry):
+            params, opt_state, acc = carry
+            k = jax.random.fold_in(key, acc.astype(jnp.int32) % 1000)
+            aug_img, aug_lab = augment_batch(k, raw + s, labels, "distance")
+
+            def losses(p):
+                var = {"params": p}
+                if batch_stats:
+                    var["batch_stats"] = batch_stats
+                    preds, _ = model.apply(var, aug_img, train=True,
+                                           mutable=["batch_stats"])
+                else:
+                    preds = model.apply(var, aug_img, train=True)
+                return jnp.mean(per_sample(preds, aug_lab))
+
+            loss, grads = jax.value_and_grad(losses)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, acc + loss
+
+        _, _, acc = jax.lax.fori_loop(
+            0, n, step, (params, opt_state, jnp.float32(0)))
+        return acc
+
+    return _slope_ms(
+        lambda p, o, s, n: train_chain(p, o, jax.random.PRNGKey(0), s, n),
+        (params, opt_state), n=5)
+
+
 def main():
     from microbeseg_tpu.config import ModelConfig
     from microbeseg_tpu.models.unet import build_unet
@@ -134,6 +192,13 @@ def main():
     crops_per_sec = 1e3 / per_crop_ms
     print(f"# fwd {fwd_ms:.3f} ms/crop, post {post_ms:.3f} ms/crop",
           file=sys.stderr)
+
+    # optional training-throughput stage (BENCH_TRAIN=1): full train step
+    # (on-device augmentation + fwd/bwd + Ranger) — last measured ~18 ms/crop
+    if os.environ.get("BENCH_TRAIN") == "1":
+        train_ms = _train_slope_ms(model, images)
+        print(f"# train {train_ms:.3f} ms/crop "
+              f"({1e3 / train_ms:.1f} crops/s/chip)", file=sys.stderr)
     print(json.dumps({
         "metric": "256^2 crops/sec/chip (DUNet fwd + on-device watershed postproc)",
         "value": round(crops_per_sec, 2),
