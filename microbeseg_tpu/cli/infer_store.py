@@ -18,6 +18,9 @@ from microbeseg_tpu.inference.engine import InferenceEngine
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="microbeSEG-tpu OMERO inference")
+    parser.add_argument("--project", default=[], type=int, nargs="+",
+                        help="Project ids (expanded to all images; "
+                             "reference infer_script.py:79-85)")
     parser.add_argument("--dataset", default=None, type=int, help="Dataset id")
     parser.add_argument("--files", default=[], type=int, nargs="+",
                         help="Image ids")
@@ -60,15 +63,26 @@ def main(argv=None) -> int:
                     if settings_path.is_file() else {})
         username = args.username or settings.get("omero_username") or input("OMERO username: ")
         password = args.password or getpass.getpass(prompt="Password: ")
-        store = OmeroStore(username, password, settings.get("omero_host"),
+        store = OmeroStore(username, password,
+                           args.host or settings.get("omero_host"),
                            int(args.port or settings.get("omero_port", 4064)))
 
+    # Expand project -> datasets -> images (reference infer_script.py:79-108)
     image_ids = list(args.files)
-    if args.dataset is not None:
-        image_ids.extend(ref.image_id for ref in store.list_images(args.dataset))
+    dataset_ids = [] if args.dataset is None else [args.dataset]
+    for pid in args.project:
+        dataset_ids.extend(store.list_datasets(pid))
+    for did in dataset_ids:
+        image_ids.extend(ref.image_id for ref in store.list_images(did))
     if not image_ids:
-        print("No images found")
+        print("No files found")
         return 0
+
+    # Group-consistency check (reference infer_script.py:106-108)
+    groups = {store.image_group(iid) for iid in image_ids}
+    if len(groups) > 1:
+        raise ValueError(
+            "Select only projects, datasets, and files from the same group!")
 
     cfg = InferConfig(th_cell=args.thresholds[0], th_seed=args.thresholds[1],
                       use_tiling=args.sliding_window)
@@ -76,6 +90,8 @@ def main(argv=None) -> int:
     infer_dataset(store, image_ids, engine, model_name=Path(args.model).stem,
                   upload=args.upload, overwrite=args.overwrite,
                   result_dir=Path(args.result_path) if args.result_path else None,
+                  channel=args.channel,
                   text_output=print)
+    store.close()
     print("--- Finished ---")
     return 0

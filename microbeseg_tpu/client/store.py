@@ -61,6 +61,7 @@ class ImageStore:
 
     def upload_image(self, dataset_id: int, name: str,
                      stack: np.ndarray) -> int:
+        """Upload a (Y,X), (T,Y,X) or (T,C,Y,X) grayscale stack."""
         raise NotImplementedError
 
     def get_map_annotation(self, image_id: int) -> Dict[str, str]:
@@ -91,14 +92,33 @@ class ImageStore:
         raise NotImplementedError
 
     def delete_attachments(self, image_id: int,
-                           namespace: Optional[str] = None) -> None:
+                           namespace: Optional[str] = None,
+                           names: Optional[List[str]] = None) -> None:
+        """Delete attachments in ``namespace`` and/or with filenames in
+        ``names`` (union); both None deletes all."""
         raise NotImplementedError
 
-    def create_dataset(self, name: str) -> int:
+    def can_annotate(self, image_id: int) -> bool:
+        """Write permission on an image (reference infer.py:157)."""
+        return True
+
+    def create_dataset(self, name: str, project_id: int = -1) -> int:
         raise NotImplementedError
 
     def dataset_name(self, dataset_id: int) -> str:
         raise NotImplementedError
+
+    def list_datasets(self, project_id: int) -> List[int]:
+        """Dataset ids under a project (reference infer_script.py:81-85)."""
+        raise NotImplementedError
+
+    def image_group(self, image_id: int) -> int:
+        """Permission-group id of an image; the store-backed inference CLI
+        enforces single-group selections (reference infer_script.py:106-108)."""
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
 
 
 class LocalStore(ImageStore):
@@ -129,17 +149,31 @@ class LocalStore(ImageStore):
         return json.loads(p.read_text()) if p.is_file() else default
 
     # -- datasets ------------------------------------------------------
-    def create_dataset(self, name: str) -> int:
+    def create_dataset(self, name: str, project_id: int = -1) -> int:
         did = self._next_id("datasets")
         d = self.root / "datasets" / str(did)
         d.mkdir()
-        (d / "meta.json").write_text(json.dumps({"name": name}))
+        (d / "meta.json").write_text(
+            json.dumps({"name": name, "project_id": project_id}))
         return did
 
     def dataset_name(self, dataset_id: int) -> str:
         meta = self._read_json(
             self.root / "datasets" / str(dataset_id) / "meta.json", {})
         return meta.get("name", str(dataset_id))
+
+    def list_datasets(self, project_id: int) -> List[int]:
+        out = []
+        for p in sorted((self.root / "datasets").iterdir(),
+                        key=lambda q: int(q.name) if q.name.isdigit() else 0):
+            meta = self._read_json(p / "meta.json", {})
+            if meta.get("project_id") == project_id:
+                out.append(int(p.name))
+        return out
+
+    def image_group(self, image_id: int) -> int:
+        meta = self._read_json(self._img_dir(image_id) / "meta.json", {})
+        return int(meta.get("group", 0))
 
     def list_images(self, dataset_id: int) -> List[ImageRef]:
         out = []
@@ -156,13 +190,17 @@ class LocalStore(ImageStore):
         stack = np.asarray(stack)
         if stack.ndim == 2:
             stack = stack[None]
+        if stack.ndim == 3:
+            stack = stack[:, None]  # (T,Y,X) -> (T,1,Y,X)
+        size_t, size_c = int(stack.shape[0]), int(stack.shape[1])
         iid = self._next_id("images")
         d = self.root / "images" / str(iid)
         (d / "attachments").mkdir(parents=True)
-        imwrite(d / "data.tif", stack)
+        # pages flattened t-major, c-minor: page = t*size_c + c
+        imwrite(d / "data.tif", stack.reshape(-1, *stack.shape[2:]))
         meta = {"name": name, "dataset_id": dataset_id,
-                "size_t": int(stack.shape[0]), "size_c": 1, "size_z": 1,
-                "size_y": int(stack.shape[1]), "size_x": int(stack.shape[2])}
+                "size_t": size_t, "size_c": size_c, "size_z": 1,
+                "size_y": int(stack.shape[2]), "size_x": int(stack.shape[3])}
         (d / "meta.json").write_text(json.dumps(meta))
         return iid
 
@@ -177,10 +215,14 @@ class LocalStore(ImageStore):
                         dataset_id=meta.get("dataset_id", -1))
 
     def get_plane(self, image_id: int, z: int, c: int, t: int) -> np.ndarray:
+        meta = self._read_json(self._img_dir(image_id) / "meta.json", {})
+        size_c = int(meta.get("size_c", 1))
+        if not 0 <= c < size_c:
+            raise IndexError(f"channel {c} out of range (size_c={size_c})")
         data = imread(self._img_dir(image_id) / "data.tif")
         if data.ndim == 2:
             data = data[None]
-        return data[t]
+        return data[t * size_c + c]
 
     # -- map annotations ----------------------------------------------
     def get_map_annotation(self, image_id: int) -> Dict[str, str]:
@@ -240,54 +282,314 @@ class LocalStore(ImageStore):
         return target
 
     def delete_attachments(self, image_id: int,
-                           namespace: Optional[str] = None) -> None:
+                           namespace: Optional[str] = None,
+                           names: Optional[List[str]] = None) -> None:
         d = self._img_dir(image_id) / "attachments"
         ns = self._read_json(d / "_namespaces.json", {})
         for f in list(d.iterdir()):
             if f.name.startswith("_"):
                 continue
-            if namespace is None or ns.get(f.name, "") == namespace:
+            hit = (namespace is None and names is None) \
+                or (namespace is not None and ns.get(f.name, "") == namespace) \
+                or (names is not None and f.name in names)
+            if hit:
                 f.unlink()
                 ns.pop(f.name, None)
         (d / "_namespaces.json").write_text(json.dumps(ns))
 
 
-class OmeroStore(ImageStore):
-    """BlitzGateway-backed store (requires omero-py; import-gated)."""
+def _with_reconnect(fn):
+    """On any gateway error: disconnect, reconnect, retry the call once.
 
-    def __init__(self, username: str, password: str, host: str, port: int):
+    The reference applies this pattern ad hoc at its OMERO call sites
+    (src/inference/infer.py:138-143, src/inference/analysis.py:85-90,
+    src/inference/result_export.py:83-88, src/utils/data_cropping.py:146-151);
+    here it uniformly guards every store method.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
         try:
-            from omero.gateway import BlitzGateway  # type: ignore
+            return fn(self, *args, **kwargs)
+        except Exception:
+            self._reconnect()
+            return fn(self, *args, **kwargs)
+    return wrapper
+
+
+class OmeroStore(ImageStore):
+    """BlitzGateway-backed store (requires omero-py; import-gated).
+
+    Maps the full ``ImageStore`` surface onto BlitzGateway — the reference's
+    call sites are cited per method.  All methods carry the reconnect-retry
+    guard.  Tested against a fake in-memory gateway (tests/fake_omero.py);
+    the real wire protocol stays in omero-py.
+    """
+
+    def __init__(self, username: str, password: str, host: str, port: int,
+                 secure: bool = True):
+        try:
+            import omero  # type: ignore  # noqa: F401
+            import omero.constants  # type: ignore  # noqa: F401
+            import omero.gateway  # type: ignore  # noqa: F401
+            import omero.model  # type: ignore  # noqa: F401
+            import omero.rtypes  # type: ignore  # noqa: F401
         except ImportError as exc:  # pragma: no cover - omero not in env
             raise ImportError(
                 "omero-py is not installed; use LocalStore for offline "
                 "operation or install omero-py for server-backed workflows"
             ) from exc
-        self._conn = BlitzGateway(username, password, host=host, port=port,
-                                  secure=True)
-        if not self._conn.connect():
+        self._omero = omero
+        self._login = (username, password, host, port, secure)
+        self._conn = None
+        self._connect()
+
+    # -- connection lifecycle -------------------------------------------
+    def _connect(self) -> None:
+        username, password, host, port, secure = self._login
+        conn = self._omero.gateway.BlitzGateway(
+            username, password, host=host, port=port, secure=secure)
+        if not conn.connect():
             raise ConnectionError("No OMERO connection possible. "
                                   "Check inputs or connection.")
+        # "-1" = all groups (reference infer_script.py:77)
+        conn.SERVICE_OPTS.setOmeroGroup("-1")
+        self._conn = conn
 
-    # The full BlitzGateway mapping mirrors the reference's call sites; it is
-    # exercised only against a live server, hence kept minimal here.
-    def list_images(self, dataset_id: int):  # pragma: no cover
+    def _reconnect(self) -> None:
+        try:
+            self._conn.close()
+        except Exception:
+            pass
+        self._connect()
+
+    def close(self) -> None:
+        self._conn.close()
+
+    # -- helpers ---------------------------------------------------------
+    def _image(self, image_id: int):
+        img = self._conn.getObject("Image", image_id)
+        if img is None:
+            raise KeyError(f"image {image_id} not found")
+        return img
+
+    def _to_ref(self, img, dataset_id: int = -1) -> ImageRef:
+        return ImageRef(
+            image_id=int(img.getId()), name=img.getName(),
+            size_t=int(img.getSizeT()), size_c=int(img.getSizeC()),
+            size_z=int(img.getSizeZ()), size_y=int(img.getSizeY()),
+            size_x=int(img.getSizeX()), dataset_id=dataset_id)
+
+    def _file_anns(self, image_id: int, namespace: Optional[str]):
+        wrapper = self._omero.gateway.FileAnnotationWrapper
+        for ann in self._image(image_id).listAnnotations():
+            if isinstance(ann, wrapper):
+                if namespace is None or ann.getNs() == namespace:
+                    yield ann
+
+    # -- datasets / projects ----------------------------------------------
+    @_with_reconnect
+    def create_dataset(self, name: str, project_id: int = -1) -> int:
+        # reference microbe_seg_gui.py:1929-1987 (trainset creation)
+        ds = self._omero.model.DatasetI()
+        ds.setName(self._omero.rtypes.rstring(name))
+        ds = self._conn.getUpdateService().saveAndReturnObject(ds)
+        did = int(ds.getId().getValue())
+        if project_id >= 0:
+            link = self._omero.model.ProjectDatasetLinkI()
+            link.setParent(self._omero.model.ProjectI(project_id, False))
+            link.setChild(self._omero.model.DatasetI(did, False))
+            self._conn.getUpdateService().saveAndReturnObject(link)
+        return did
+
+    @_with_reconnect
+    def dataset_name(self, dataset_id: int) -> str:
         ds = self._conn.getObject("Dataset", dataset_id)
-        out = []
-        for img in ds.listChildren():
-            out.append(ImageRef(
-                image_id=img.getId(), name=img.getName(),
-                size_t=img.getSizeT(), size_c=img.getSizeC(),
-                size_z=img.getSizeZ(), size_y=img.getSizeY(),
-                size_x=img.getSizeX(), dataset_id=dataset_id))
+        if ds is None:
+            raise KeyError(f"dataset {dataset_id} not found")
+        return ds.getName()
+
+    @_with_reconnect
+    def list_datasets(self, project_id: int) -> List[int]:
+        # reference infer_script.py:81-85 (project -> dataset expansion)
+        project = self._conn.getObject("Project", project_id)
+        if project is None:
+            raise KeyError(f"project {project_id} not found")
+        return [int(ds.getId()) for ds in project.listChildren()]
+
+    @_with_reconnect
+    def image_group(self, image_id: int) -> int:
+        # reference infer_script.py:85 (getDetails().group.id.val)
+        return int(self._image(image_id).getDetails().group.id.val)
+
+    # -- images ------------------------------------------------------------
+    @_with_reconnect
+    def list_images(self, dataset_id: int) -> List[ImageRef]:
+        ds = self._conn.getObject("Dataset", dataset_id)
+        if ds is None:
+            raise KeyError(f"dataset {dataset_id} not found")
+        return [self._to_ref(img, dataset_id) for img in ds.listChildren()]
+
+    @_with_reconnect
+    def get_image(self, image_id: int) -> ImageRef:
+        img = self._image(image_id)
+        parent = img.getParent()
+        return self._to_ref(img, int(parent.getId()) if parent else -1)
+
+    @_with_reconnect
+    def get_plane(self, image_id: int, z: int, c: int, t: int) -> np.ndarray:
+        # reference src/inference/infer.py:250 (getPrimaryPixels().getPlane)
+        pixels = self._image(image_id).getPrimaryPixels()
+        return np.asarray(pixels.getPlane(z, c, t))
+
+    @_with_reconnect
+    def upload_image(self, dataset_id: int, name: str,
+                     stack: np.ndarray) -> int:
+        # reference src/utils/data_import.py:197-230 / gui:2725-2740
+        # (createImageFromNumpySeq)
+        stack = np.asarray(stack)
+        if stack.ndim == 2:
+            stack = stack[None]
+        if stack.ndim == 3:
+            stack = stack[:, None]  # (T,Y,X) -> (T,1,Y,X)
+        size_t, size_c = int(stack.shape[0]), int(stack.shape[1])
+        ds = self._conn.getObject("Dataset", dataset_id)
+
+        def planes():
+            # createImageFromNumpySeq consumes z-major, then c, then t
+            for c in range(size_c):
+                for t in range(size_t):
+                    yield stack[t, c]
+
+        img = self._conn.createImageFromNumpySeq(
+            planes(), name, sizeZ=1, sizeC=size_c, sizeT=size_t, dataset=ds)
+        return int(img.getId())
+
+    # -- map annotations ----------------------------------------------------
+    @_with_reconnect
+    def get_map_annotation(self, image_id: int) -> Dict[str, str]:
+        # reference src/utils/data_export.py:76-91
+        wrapper = self._omero.gateway.MapAnnotationWrapper
+        out: Dict[str, str] = {}
+        for ann in self._image(image_id).listAnnotations():
+            if isinstance(ann, wrapper):
+                out.update({str(k): str(v) for k, v in ann.getValue()})
         return out
 
-    def get_plane(self, image_id, z, c, t):  # pragma: no cover
-        img = self._conn.getObject("Image", image_id)
-        return np.asarray(img.getPrimaryPixels().getPlane(z, c, t))
+    @_with_reconnect
+    def set_map_annotation(self, image_id: int, kv: Dict[str, str]) -> None:
+        # reference src/inference/infer.py:294-315: merge keys, replace the
+        # editable annotation, keep the client namespace so OMERO.web/Insight
+        # can edit it
+        img = self._image(image_id)
+        wrapper = self._omero.gateway.MapAnnotationWrapper
+        merged: Dict[str, str] = {}
+        stale = []
+        for ann in img.listAnnotations():
+            if isinstance(ann, wrapper):
+                merged.update({str(k): str(v) for k, v in ann.getValue()})
+                if ann.canEdit():
+                    stale.append(ann.getId())
+        merged.update({str(k): str(v) for k, v in kv.items()})
+        if stale:
+            self._conn.deleteObjects("Annotation", stale, wait=True)
+        ann = wrapper(self._conn)
+        ann.setNs(self._omero.constants.metadata.NSCLIENTMAPANNOTATION)
+        ann.setValue([[k, v] for k, v in merged.items()])
+        ann.save()
+        img.linkAnnotation(ann)
 
-    def close(self):  # pragma: no cover
-        self._conn.close()
+    # -- polygon ROIs ---------------------------------------------------------
+    @_with_reconnect
+    def get_polygons(self, image_id: int) -> List[RoiPolygon]:
+        # reference src/utils/data_export.py:60-70 (ROI service)
+        result = self._conn.getRoiService().findByImage(image_id, None)
+        out = []
+        for roi in result.rois:
+            for shape in roi.copyShapes():
+                if isinstance(shape, self._omero.model.PolygonI):
+                    t = shape.getTheT()
+                    z = shape.getTheZ()
+                    out.append(RoiPolygon(
+                        t=int(t.getValue()) if t is not None else 0,
+                        z=int(z.getValue()) if z is not None else 0,
+                        points=shape.getPoints().getValue()))
+        return out
+
+    @_with_reconnect
+    def add_polygons(self, image_id: int, polys: List[RoiPolygon]) -> None:
+        # reference src/utils/data_import.py:289-305 (create_roi)
+        update = self._conn.getUpdateService()
+        img = self._image(image_id)
+        rtypes = self._omero.rtypes
+        for p in polys:
+            shape = self._omero.model.PolygonI()
+            shape.theT = rtypes.rint(p.t)
+            shape.theZ = rtypes.rint(p.z)
+            shape.points = rtypes.rstring(p.points)
+            roi = self._omero.model.RoiI()
+            roi.setImage(img._obj)
+            roi.addShape(shape)
+            update.saveAndReturnObject(roi)
+
+    @_with_reconnect
+    def delete_polygons(self, image_id: int) -> None:
+        # reference src/inference/infer.py:186-196
+        result = self._conn.getRoiService().findByImage(image_id, None)
+        roi_ids = [roi.id.val for roi in result.rois]
+        if roi_ids:
+            self._conn.deleteObjects("Roi", roi_ids, wait=True)
+
+    # -- file attachments -----------------------------------------------------
+    @_with_reconnect
+    def attach_file(self, image_id: int, path: Path,
+                    namespace: str = "") -> None:
+        # reference src/inference/analysis.py:181-194
+        img = self._image(image_id)
+        ann = self._conn.createFileAnnfromLocalFile(
+            str(path), mimetype="text/plain", ns=namespace or None)
+        img.linkAnnotation(ann)
+
+    @_with_reconnect
+    def list_attachments(self, image_id: int,
+                         namespace: Optional[str] = None) -> List[str]:
+        return [ann.getFileName()
+                for ann in self._file_anns(image_id, namespace)]
+
+    @_with_reconnect
+    def download_attachment(self, image_id: int, name: str,
+                            target: Path) -> Optional[Path]:
+        # reference src/inference/result_export.py:207-210 (getFileInChunks)
+        for ann in self._file_anns(image_id, None):
+            if ann.getFileName() == name:
+                target = Path(target)
+                with open(target, "wb") as fh:
+                    for chunk in ann.getFileInChunks():
+                        fh.write(chunk)
+                return target
+        return None
+
+    @_with_reconnect
+    def delete_attachments(self, image_id: int,
+                           namespace: Optional[str] = None,
+                           names: Optional[List[str]] = None) -> None:
+        # reference src/inference/infer.py:197-205 (namespace- and
+        # filename-matched attachment deletion on overwrite)
+        ids = []
+        for ann in self._file_anns(image_id, None):
+            hit = (namespace is None and names is None) \
+                or (namespace is not None and ann.getNs() == namespace) \
+                or (names is not None and ann.getFileName() in names)
+            if hit:
+                ids.append(ann.getId())
+        if ids:
+            self._conn.deleteObjects("Annotation", ids, wait=True)
+
+    @_with_reconnect
+    def can_annotate(self, image_id: int) -> bool:
+        # reference src/inference/infer.py:157 (canAnnotate)
+        return bool(self._image(image_id).canAnnotate())
 
 
 def timestamp() -> str:

@@ -70,6 +70,7 @@ def _mask_to_rois(mask: np.ndarray, t: int = 0, z: int = 0) -> List[RoiPolygon]:
 # ---------------------------------------------------------------------------
 
 def export_trainset(store: ImageStore, dataset_id: int, target_dir: Path,
+                    channel: int = 0,
                     text_output: Callable[[str], None] = _noop,
                     progress: Callable[[int], None] = _noop,
                     should_stop: Callable[[], bool] = lambda: False) -> Optional[Path]:
@@ -93,7 +94,7 @@ def export_trainset(store: ImageStore, dataset_id: int, target_dir: Path,
         corrected = meta.get("last_modification", "") != ""
         if pre_labeled and not corrected:
             continue  # skip uncorrected pre-labels
-        img = store.get_plane(ref.image_id, 0, 0, 0)
+        img = store.get_plane(ref.image_id, 0, channel, 0)
         polys = store.get_polygons(ref.image_id)
         mask = _rasterize_rois(polys, 0, img.shape)
         # renormalize to uint16 with stored frame stats (reference :99-101)
@@ -156,10 +157,12 @@ def import_data(store: ImageStore, dataset_id: int, img_paths: Sequence[Path],
         progress(int(100 * (n + 1) / len(img_paths)))
     # split_info.json attached dataset-wide via the first image
     if uploaded:
-        tmp = Path(store.root if hasattr(store, "root") else ".") / "split_info.json"
-        tmp.write_text(json.dumps(split_info))
-        store.attach_file(uploaded[0], tmp, namespace="microbeseg.split_info")
-        tmp.unlink(missing_ok=True)
+        import tempfile
+        with tempfile.TemporaryDirectory() as td:
+            tmp = Path(td) / "split_info.json"
+            tmp.write_text(json.dumps(split_info))
+            store.attach_file(uploaded[0], tmp,
+                              namespace="microbeseg.split_info")
     return uploaded
 
 
@@ -248,11 +251,13 @@ def analyze_dataset(store: ImageStore, image_ids: Sequence[int],
 # ---------------------------------------------------------------------------
 
 def export_results(store: ImageStore, image_ids: Sequence[int],
-                   result_dir: Path,
+                   result_dir: Path, channel: int = 0,
                    text_output: Callable[[str], None] = _noop,
                    progress: Callable[[int], None] = _noop) -> None:
     """Download planes + ROIs; write {stem}.tif, _mask.tif, _overlay.tif
-    (yellow outlines on grayscale), _outlines.tif, plus the analysis CSV."""
+    (yellow outlines on grayscale, one RGB frame per time point —
+    reference result_export.py:183-204), _outlines.tif, plus the
+    analysis CSV."""
     result_dir = Path(result_dir)
     result_dir.mkdir(parents=True, exist_ok=True)
     for i, iid in enumerate(image_ids):
@@ -260,7 +265,7 @@ def export_results(store: ImageStore, image_ids: Sequence[int],
         polys = store.get_polygons(iid)
         frames, masks, overlays, outlines = [], [], [], []
         for t in range(ref.size_t):
-            img = store.get_plane(iid, 0, 0, t)
+            img = store.get_plane(iid, 0, channel, t)
             mask = _rasterize_rois(polys, t, img.shape)
             outline = _outline(mask)
             img8 = (255 * (min_max_normalization(img) + 1) / 2).astype(np.uint8)
@@ -275,8 +280,8 @@ def export_results(store: ImageStore, image_ids: Sequence[int],
         imwrite(result_dir / f"{stem}_mask.tif", np.squeeze(np.stack(masks)))
         imwrite(result_dir / f"{stem}_outlines.tif",
                 np.squeeze(np.stack(outlines)))
-        if len(overlays) == 1:
-            imwrite(result_dir / f"{stem}_overlay.tif", overlays[0])
+        imwrite(result_dir / f"{stem}_overlay.tif",
+                np.squeeze(np.stack(overlays)))
         for name in store.list_attachments(iid, namespace=ANALYSIS_NAMESPACE):
             store.download_attachment(iid, name, result_dir / name)
         progress(int(100 * (i + 1) / len(image_ids)))
@@ -316,18 +321,22 @@ class CropGenerator:
     (data_cropping.py:157-199), with optional model pre-labeling."""
 
     def __init__(self, store: ImageStore, crop_size: int,
-                 engine=None, used: Optional[set] = None, seed: int = 0):
+                 engine=None, used: Optional[set] = None, seed: int = 0,
+                 channel: int = 0):
         self.store = store
         self.crop_size = crop_size
         self.engine = engine
         self.used = used or set()
         self.rng = np.random.default_rng(seed)
+        self.channel = channel
 
     def crop_list(self, dataset_id: int) -> List[Tuple[int, int]]:
         items = []
         for ref in self.store.list_images(dataset_id):
             if ref.size_z > 1:
                 continue  # skip z-stacks
+            if self.channel + 1 > ref.size_c:
+                continue  # missing channel
             if min(ref.size_y, ref.size_x) < self.crop_size:
                 continue  # too small
             n = max(1, int(0.4 * ref.size_t))
@@ -341,7 +350,7 @@ class CropGenerator:
         return items
 
     def next_crops(self, image_id: int, frame: int) -> List[Crop]:
-        img = self.store.get_plane(image_id, 0, 0, frame)
+        img = self.store.get_plane(image_id, 0, self.channel, frame)
         H, W = img.shape
         cs = self.crop_size
         n = 3 if max(H, W) >= 3 * cs else (2 if max(H, W) >= 2 * cs else 1)
@@ -393,32 +402,56 @@ def split_assignment(counter: int) -> str:
 # OMERO-dataset inference (reference infer.py:22-390)
 # ---------------------------------------------------------------------------
 
+# Label-tool attachments deleted on overwrite (reference infer.py:197-205)
+LABEL_TOOL_ATTACHMENTS = ["simpleSegmentation.json", "GUISegmentation.json"]
+
+
 def infer_dataset(store: ImageStore, image_ids: Sequence[int], engine,
                   model_name: str, upload: bool = True,
                   overwrite: bool = False,
                   result_dir: Optional[Path] = None,
+                  channel: int = 0,
                   text_output: Callable[[str], None] = _noop,
                   progress: Callable[[int], None] = _noop,
                   should_stop: Callable[[], bool] = lambda: False) -> None:
-    """Segment stored images: skip z-stacks / already-processed (map
-    annotations 'inference_model'/'inference_date'); overwrite deletes old
-    ROIs; frames are batched through the engine (reference loops batch=1);
-    results go back as polygon ROIs + annotations, or local TIFFs."""
+    """Segment stored images on one channel: skip z-stacks / missing channel
+    (reference infer.py:171) / no write permission (:157) / already-processed
+    (map annotations 'inference_model'/'inference_date' or an existing local
+    mask file, :179-185, :211-215); overwrite deletes old ROIs plus label-tool
+    and analysis attachments (:186-205); frames are batched through the engine
+    (reference loops batch=1); results go back as polygon ROIs + annotations,
+    or local per-channel mask TIFFs (:320-322)."""
     for i, iid in enumerate(image_ids):
         if should_stop():
             text_output("Stop inference due to user interaction.")
             return
         ref = store.get_image(iid)
+        if upload and not store.can_annotate(iid):
+            text_output(f"Skip {ref.name} (no write permission)")
+            continue
         if ref.size_z > 1:
-            text_output(f"Skip {ref.name} (z-stacks not supported)")
+            text_output(f"Skip {ref.name} (is z-stack)")
             continue
-        meta = store.get_map_annotation(iid)
-        if not overwrite and meta.get("inference_model"):
-            text_output(f"Skip {ref.name} (already processed)")
+        if channel + 1 > ref.size_c:
+            text_output(f"Skip {ref.name} (not enough channels found)")
             continue
-        if overwrite:
+        stem = Path(ref.name).stem or str(iid)
+        mask_path = (Path(result_dir) / f"mask_{stem}_channel{channel}.tif"
+                     if result_dir is not None else None)
+        if upload:
+            meta = store.get_map_annotation(iid)
+            processed = bool(meta.get("inference_model"))
+        else:
+            processed = mask_path is not None and mask_path.is_file()
+        if processed and not overwrite:
+            text_output(f"Skip {ref.name} (already processed and "
+                        "overwriting not enabled)")
+            continue
+        if overwrite and upload:
             store.delete_polygons(iid)
-        frames = np.stack([store.get_plane(iid, 0, 0, t)
+            store.delete_attachments(iid, namespace=ANALYSIS_NAMESPACE,
+                                     names=LABEL_TOOL_ATTACHMENTS)
+        frames = np.stack([store.get_plane(iid, 0, channel, t)
                            for t in range(ref.size_t)])
         masks = engine.segment(frames)
         if masks.ndim == 2:
@@ -430,9 +463,7 @@ def infer_dataset(store: ImageStore, image_ids: Sequence[int], engine,
             store.add_polygons(iid, rois)
             store.set_map_annotation(iid, {"inference_model": model_name,
                                            "inference_date": timestamp()})
-        if result_dir is not None:
-            result_dir = Path(result_dir)
-            result_dir.mkdir(parents=True, exist_ok=True)
-            imwrite(result_dir / f"mask_{Path(ref.name).stem or iid}.tif",
-                    np.squeeze(masks))
+        if mask_path is not None:
+            mask_path.parent.mkdir(parents=True, exist_ok=True)
+            imwrite(mask_path, np.squeeze(masks))
         progress(int(100 * (i + 1) / len(image_ids)))

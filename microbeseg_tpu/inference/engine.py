@@ -49,6 +49,7 @@ class InferenceEngine:
         self.mesh = mesh
         self.max_seeds = max_seeds
         self._forward_cache: Dict = {}
+        self._post_cache: Dict = {}
 
     @classmethod
     def from_checkpoint(cls, model_path: Path, cfg: Optional[InferConfig] = None,
@@ -100,16 +101,40 @@ class InferenceEngine:
             out[i] = min_max_normalization(f)
         return out
 
+    def _rescale(self, arrays: np.ndarray, out_hw: Tuple[int, int],
+                 method: str) -> np.ndarray:
+        """Spatial resize of a (T, H, W[, C]) batch on device."""
+        shape = (arrays.shape[0],) + tuple(out_hw) + arrays.shape[3:]
+        return np.asarray(jax.image.resize(jnp.asarray(arrays), shape, method))
+
     def predict_raw(self, frames: np.ndarray) -> Tuple[np.ndarray, ...]:
         """CNN predictions for a (T, H, W) stack (or (1, H, W) single frame).
 
-        Returns de-padded predictions: distance -> (border, cell) each
-        (T, H, W); boundary -> (T, H, W, 3) softmax.
+        Returns de-padded predictions at the ORIGINAL resolution: distance ->
+        (border, cell) each (T, H, W); boundary -> (T, H, W, 3) softmax.
+        ``cfg.scale_factor < 1`` downscales the normalized input before the
+        forward pass (reference Scaling transform,
+        src/inference/inference_dataset.py:107-126, order-2 interpolation) and
+        upscales the float predictions back before post-processing.
         """
         frames = np.asarray(frames)
         if frames.ndim == 2:
             frames = frames[None]
-        T, H, W = frames.shape
+        T, H0, W0 = frames.shape
+        norm = self._normalize_batch(frames)
+        scale = self.cfg.scale_factor
+        if scale < 1:
+            sh = max(int(round(H0 * scale)), 1)
+            sw = max(int(round(W0 * scale)), 1)
+            norm = self._rescale(norm, (sh, sw), "cubic")
+        preds = self._predict_normalized(norm)
+        if scale < 1:
+            preds = tuple(self._rescale(p, (H0, W0), "linear") for p in preds)
+        return preds
+
+    def _predict_normalized(self, norm: np.ndarray) -> Tuple[np.ndarray, ...]:
+        """Forward pass on already-normalized (T, H, W) frames."""
+        T, H, W = norm.shape
         try:
             th, tw = pad_bucket_shape(H, W)
             tiled = False
@@ -117,12 +142,15 @@ class InferenceEngine:
             tiled = True
         if tiled or (self.cfg.use_tiling and
                      max(H, W) > self.cfg.tile_size):
-            return self._predict_tiled(frames)
+            return self._predict_tiled(norm)
 
         pad_y, pad_x = th - H, tw - W
-        norm = self._normalize_batch(frames)
+        # pad with the normalized image minimum (-1): the reference pads the
+        # image with img.min() AFTER [-1,1] normalization
+        # (inference_dataset.py:96-104 Padding pad_val=np.min(img),
+        # infer.py:256 via zero_pad_model_input on the raw frame minimum)
         padded = np.pad(norm, ((0, 0), (pad_y, 0), (pad_x, 0)),
-                        constant_values=0)
+                        constant_values=-1.0)
         fwd = self._forward_fn(pad_y, pad_x)
 
         outs = []
@@ -149,11 +177,13 @@ class InferenceEngine:
         probs = np.concatenate(outs)[:T]
         return (probs,)
 
-    def _predict_tiled(self, frames: np.ndarray) -> Tuple[np.ndarray, ...]:
-        """Sliding-window path for images beyond the pad-bucket table."""
+    def _predict_tiled(self, norm_frames: np.ndarray) -> Tuple[np.ndarray, ...]:
+        """Sliding-window path for images beyond the pad-bucket table.
+
+        ``norm_frames`` are already normalized to [-1, 1]."""
         tile = self.cfg.tile_size
         overlap = self.cfg.tile_overlap
-        T, H, W = frames.shape
+        T, H, W = norm_frames.shape
         if min(H, W) < tile:
             raise ValueError(
                 f"image {H}x{W} smaller than tile {tile}; shrink tile_size")
@@ -165,8 +195,7 @@ class InferenceEngine:
         # batch axis, which is also the mesh-sharded axis)
         all_tiles, all_pos, frame_of = [], [], []
         for t in range(T):
-            norm = self._normalize_batch(frames[t:t + 1])[0]
-            tiles, pos = extract_tiles(norm, tile, overlap)
+            tiles, pos = extract_tiles(norm_frames[t], tile, overlap)
             all_tiles.append(tiles)
             all_pos.extend(pos)
             frame_of.extend([t] * len(pos))
@@ -220,22 +249,37 @@ class InferenceEngine:
         T = frames.shape[0]
         masks = np.empty(frames.shape, np.uint16)
         bs = self.cfg.batch_size
+        post = self._post_fn()
         if self.label_type == "distance":
             border, cell = preds
-            post = jax.jit(jax.vmap(
-                lambda b, c: distance_postprocessing(
-                    b, c, th_seed, th_cell, max_seeds=self.max_seeds)))
+            ts = jnp.float32(th_seed)
+            tc = jnp.float32(th_cell)
             for s in range(0, T, bs):
                 chunk_b = jnp.asarray(border[s:s + bs])
                 chunk_c = jnp.asarray(cell[s:s + bs])
-                masks[s:s + bs] = np.asarray(post(chunk_b, chunk_c))
+                masks[s:s + bs] = np.asarray(post(chunk_b, chunk_c, ts, tc))
         else:
             (probs,) = preds
-            post = jax.jit(jax.vmap(
-                lambda p: boundary_postprocessing(p, max_seeds=self.max_seeds)))
             for s in range(0, T, bs):
                 masks[s:s + bs] = np.asarray(post(jnp.asarray(probs[s:s + bs])))
         return masks[0] if squeeze else masks
+
+    def _post_fn(self):
+        """Jitted, vmapped post-processing, cached per engine: thresholds ride
+        as traced scalars so repeated ``segment`` calls (any thresholds) hit
+        one executable per batch shape instead of re-tracing per call."""
+        key = (self.label_type, self.max_seeds)
+        fn = self._post_cache.get(key)
+        if fn is None:
+            if self.label_type == "distance":
+                fn = jax.jit(jax.vmap(
+                    partial(distance_postprocessing, max_seeds=self.max_seeds),
+                    in_axes=(0, 0, None, None)))
+            else:
+                fn = jax.jit(jax.vmap(
+                    partial(boundary_postprocessing, max_seeds=self.max_seeds)))
+            self._post_cache[key] = fn
+        return fn
 
     def segment_grid(self, frame: np.ndarray,
                      th_pairs) -> np.ndarray:

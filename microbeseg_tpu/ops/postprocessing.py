@@ -95,6 +95,8 @@ def boundary_postprocessing(prediction: jnp.ndarray,
     mask = pred_bin == 1
 
     seeds_bin = (prediction[..., 1] * (1.0 - prediction[..., 2])) > 0.5
+    # reference postprocessing.py:81-85 removes seeds with area <= 4
+    # (floor 4.0 here keeps areas > 4, exactly the reference's loop)
     seeds = _prune_small_seeds(connected_components(seeds_bin),
                                min_area_floor=4.0, rel_mean=0.0)
 

@@ -83,17 +83,22 @@ class TrainingData:
 
 
 def epoch_batches(n: int, batch_size: int, rng: np.random.Generator,
-                  shuffle: bool = True) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Yield (indices, weights) per batch; the final ragged batch is padded by
-    wrapping with weight 0 so every step has a static shape (the weighted
-    loss then matches the reference's dataset-size normalization,
-    train.py:493-495 exactly)."""
+                  shuffle: bool = True,
+                  step_size: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Yield (indices, weights) per batch of at most ``batch_size`` REAL
+    samples.  Every yielded step has the static physical size ``step_size``
+    (>= batch_size; e.g. rounded up to the mesh device count): ragged or
+    rounded-up slots are wrap-around duplicates with weight 0, so the
+    weighted loss matches the reference's configured batch size and
+    dataset-size normalization (train.py:493-495) exactly — the effective
+    batch never silently grows with the mesh."""
+    step_size = max(step_size, batch_size)
     order = rng.permutation(n) if shuffle else np.arange(n)
     for start in range(0, n, batch_size):
         idx = order[start:start + batch_size]
         w = np.ones(len(idx), np.float32)
-        if len(idx) < batch_size:
-            pad = batch_size - len(idx)
+        if len(idx) < step_size:
+            pad = step_size - len(idx)
             idx = np.concatenate([idx, np.resize(order, pad)])
             w = np.concatenate([w, np.zeros(pad, np.float32)])
         yield idx.astype(np.int32), w

@@ -57,6 +57,43 @@ def ce_dice(logits: jnp.ndarray, labels: jnp.ndarray,
     return ce + 0.5 * dice
 
 
+def get_batch_loss(loss_function: str, label_type: str) -> Callable:
+    """Returns loss(pred, batch, weights) -> weighted loss SUM over the real
+    samples of a batch (i.e. reference_batch_loss * n_real, matching the
+    reference's ``running_loss += loss.item() * batch_size`` accounting,
+    train.py:493-495).
+
+    ``weights`` are 1 for real samples and 0 for static-shape padding slots.
+    The ce_dice dice term is computed over the FLATTENED WHOLE BATCH
+    (reference losses.py:40-68 flattens batch tensors), which a per-sample
+    decomposition cannot express — padded slots are zeroed out of all three
+    dice sums, so they contribute nothing.
+    """
+    if label_type == "boundary" and loss_function == "ce_dice":
+        def batch_ce_dice(logits, batch, weights, num_classes: int = 3):
+            labels = batch["label"]
+            labels = labels[..., 0] if labels.shape[-1] == 1 else labels
+            ce_per = jax.vmap(cross_entropy)(logits, labels)
+            n_real = jnp.sum(weights)
+            probs = jax.nn.softmax(logits, axis=-1)
+            onehot = jax.nn.one_hot(labels, num_classes, dtype=probs.dtype)
+            w = weights[:, None, None, None]
+            dice = 0.0
+            for c in range(1, num_classes):
+                dice = dice + c * dice_loss(probs[..., c] * w[..., 0],
+                                            onehot[..., c] * w[..., 0])
+            return jnp.sum(ce_per * weights) + 0.5 * dice * n_real
+        return batch_ce_dice
+
+    per_sample_fn = get_loss(loss_function, label_type)
+
+    def batch_loss(pred, batch, weights):
+        per = jax.vmap(per_sample_fn)(pred, batch)
+        return jnp.sum(per * weights)
+
+    return batch_loss
+
+
 def get_loss(loss_function: str, label_type: str) -> Callable:
     """Returns loss(pred, batch) -> scalar.
 

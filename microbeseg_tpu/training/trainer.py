@@ -39,7 +39,7 @@ from microbeseg_tpu.parallel.mesh import (
     replicated_sharding,
 )
 from microbeseg_tpu.training.data import TrainingData, epoch_batches
-from microbeseg_tpu.training.losses import get_loss
+from microbeseg_tpu.training.losses import get_batch_loss
 from microbeseg_tpu.training.optimizers import build_optimizer, set_learning_rate
 from microbeseg_tpu.training.schedules import CosineAnnealingLR, ReduceLROnPlateau
 
@@ -65,7 +65,7 @@ class Trainer:
         self.mesh = mesh if mesh is not None else get_mesh(cfg.num_devices)
         self.model = build_unet(cfg.model,
                                 dtype=jnp.dtype(cfg.compute_dtype))
-        self.loss_fn = get_loss(cfg.loss, cfg.label_type)
+        self.loss_fn = get_batch_loss(cfg.loss, cfg.label_type)
         self.stopped = False
 
     # ------------------------------------------------------------------
@@ -75,10 +75,7 @@ class Trainer:
     def _build_steps(self, tx, has_batch_stats: bool):
         model = self.model
         label_type = self.cfg.label_type
-        loss_fn = self.loss_fn
-        per_sample = jax.vmap(
-            lambda pred, batch: loss_fn(pred, batch),
-            in_axes=(0, 0))
+        batch_loss = self.loss_fn  # (pred, batch, weights) -> weighted sum
 
         bsh = batch_sharding(self.mesh)
         rsh = replicated_sharding(self.mesh)
@@ -101,15 +98,15 @@ class Trainer:
             def losses(params):
                 preds, new_bs = apply_train(params, batch_stats, aug_img,
                                             aug_labels)
-                per = per_sample(preds, aug_labels)
-                loss = jnp.sum(per * weights) / jnp.maximum(jnp.sum(weights), 1.0)
-                return loss, new_bs
+                loss_sum = batch_loss(preds, aug_labels, weights)
+                loss = loss_sum / jnp.maximum(jnp.sum(weights), 1.0)
+                return loss, (new_bs, loss_sum)
 
-            (loss, new_bs), grads = jax.value_and_grad(
+            (_, (new_bs, loss_sum)), grads = jax.value_and_grad(
                 losses, has_aux=True)(params)
             updates, new_opt = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
-            return new_params, new_bs, new_opt, loss * jnp.sum(weights)
+            return new_params, new_bs, new_opt, loss_sum
 
         def eval_step(params, batch_stats, images, labels, weights):
             images = normalize_val(images)
@@ -117,8 +114,7 @@ class Trainer:
             if has_batch_stats:
                 variables["batch_stats"] = batch_stats
             preds = model.apply(variables, images, train=False)
-            per = per_sample(preds, labels)
-            return jnp.sum(per * weights)
+            return batch_loss(preds, labels, weights)
 
         train_step = jax.jit(
             train_step,
@@ -217,8 +213,9 @@ class Trainer:
 
             # --- train phase ---
             running = 0.0
-            for idx, w in epoch_batches(len(data.train), step_bs,
-                                        np_rng, shuffle=True):
+            for idx, w in epoch_batches(len(data.train), cfg.batch_size,
+                                        np_rng, shuffle=True,
+                                        step_size=step_bs):
                 step_key, k = jax.random.split(step_key)
                 images = train_imgs[idx]
                 labels = {k2: v[idx] for k2, v in data.train.labels.items()}
@@ -230,8 +227,9 @@ class Trainer:
 
             # --- val phase ---
             running = 0.0
-            for idx, w in epoch_batches(len(data.val), step_bs,
-                                        np_rng, shuffle=False):
+            for idx, w in epoch_batches(len(data.val), cfg.batch_size,
+                                        np_rng, shuffle=False,
+                                        step_size=step_bs):
                 images = val_imgs[idx]
                 labels = {k2: v[idx] for k2, v in data.val.labels.items()}
                 running += float(eval_step(params, batch_stats, images,

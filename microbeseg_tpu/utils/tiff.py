@@ -70,7 +70,9 @@ def imwrite(path: Union[str, Path], arr: np.ndarray) -> None:
     if arr.ndim == 2 or (arr.ndim == 3 and arr.shape[-1] == 3 and arr.dtype == np.uint8):
         _frame_to_pil(arr).save(path, format="TIFF")
         return
-    if arr.ndim == 3:
+    if arr.ndim == 3 or (arr.ndim == 4 and arr.shape[-1] == 3
+                         and arr.dtype == np.uint8):
+        # grayscale stack (T,H,W) or RGB stack (T,H,W,3)
         frames = [_frame_to_pil(f) for f in arr]
         frames[0].save(path, format="TIFF", save_all=True, append_images=frames[1:])
         return

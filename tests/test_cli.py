@@ -1,0 +1,80 @@
+"""CLI contract tests (reference entry points: infer_script.py etc.)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from microbeseg_tpu.cli import infer_store
+from microbeseg_tpu.client.store import LocalStore
+from microbeseg_tpu.utils.tiff import imread
+
+
+class DummyEngine:
+    def segment(self, frames):
+        m = np.zeros(frames.shape, np.uint16)
+        m[..., 4:10, 4:10] = 1
+        return m
+
+
+@pytest.fixture
+def patched_engine(monkeypatch):
+    monkeypatch.setattr(infer_store.InferenceEngine, "from_checkpoint",
+                        classmethod(lambda cls, path, cfg=None: DummyEngine()))
+
+
+class TestInferStoreCLI:
+    def _seed_store(self, root, rng, project_id=3):
+        store = LocalStore(root)
+        d1 = store.create_dataset("expA", project_id=project_id)
+        d2 = store.create_dataset("expB", project_id=project_id)
+        ids = []
+        for did in (d1, d2):
+            ids.append(store.upload_image(
+                did, f"im{did}.tif",
+                rng.integers(0, 99, (2, 16, 16)).astype(np.uint16)))
+        return store, (d1, d2), ids
+
+    def test_project_expansion(self, tmp_path, rng, patched_engine):
+        # reference infer_script.py:79-85: project ids expand to all images
+        store, _, ids = self._seed_store(tmp_path / "st", rng)
+        rc = infer_store.main([
+            "--local_store", str(tmp_path / "st"), "--project", "3",
+            "--model", "m01", "--result_path", str(tmp_path / "out")])
+        assert rc == 0
+        for iid in ids:
+            assert store.get_map_annotation(iid)["inference_model"] == "m01"
+        masks = sorted((tmp_path / "out").glob("mask_*_channel0.tif"))
+        assert len(masks) == 2
+        assert imread(masks[0]).max() == 1
+
+    def test_group_consistency_check(self, tmp_path, rng, patched_engine):
+        # reference infer_script.py:106-108
+        store, _, ids = self._seed_store(tmp_path / "st", rng)
+        meta_path = (tmp_path / "st" / "images" / str(ids[1]) / "meta.json")
+        meta = json.loads(meta_path.read_text())
+        meta["group"] = 7
+        meta_path.write_text(json.dumps(meta))
+        with pytest.raises(ValueError, match="same group"):
+            infer_store.main([
+                "--local_store", str(tmp_path / "st"), "--project", "3",
+                "--model", "m01"])
+
+    def test_channel_flag_is_honored(self, tmp_path, rng, patched_engine):
+        store = LocalStore(tmp_path / "st")
+        did = store.create_dataset("d")
+        store.upload_image(did, "mc.tif",
+                           rng.integers(0, 99, (1, 2, 16, 16)).astype(np.uint16))
+        rc = infer_store.main([
+            "--local_store", str(tmp_path / "st"), "--dataset", str(did),
+            "--model", "m01", "--channel", "1",
+            "--result_path", str(tmp_path / "out"), "--no-upload"])
+        assert rc == 0
+        assert (tmp_path / "out" / "mask_mc_channel1.tif").exists()
+
+    def test_no_files_found(self, tmp_path, rng, patched_engine, capsys):
+        LocalStore(tmp_path / "st")
+        rc = infer_store.main([
+            "--local_store", str(tmp_path / "st"), "--model", "m01"])
+        assert rc == 0
+        assert "No files found" in capsys.readouterr().out

@@ -45,6 +45,61 @@ class TestLosses:
         with pytest.raises(ValueError):
             get_loss("nope", "distance")
 
+    def test_batch_ce_dice_matches_whole_batch_reference(self, rng):
+        """Reference losses.py:40-68 flattens the WHOLE batch for the dice
+        term; a per-sample average differs because dice is nonlinear
+        (ADVICE round-1).  Padded weight-0 slots must contribute nothing."""
+        from microbeseg_tpu.training.losses import (
+            cross_entropy, get_batch_loss)
+
+        labels = rng.integers(0, 3, (3, 8, 8)).astype(np.int32)
+        logits = rng.normal(size=(3, 8, 8, 3)).astype(np.float32)
+
+        # numpy oracle of the reference: CE mean + 0.5 * sum_c c * dice_c
+        # with dice over the flattened batch
+        def softmax(x):
+            e = np.exp(x - x.max(-1, keepdims=True))
+            return e / e.sum(-1, keepdims=True)
+
+        probs = softmax(logits)
+        onehot = np.eye(3)[labels]
+        dice = 0.0
+        for c in (1, 2):
+            p, t = probs[..., c].ravel(), onehot[..., c].ravel()
+            inter = (p * t).sum()
+            dice += c * (1 - (2 * inter + 1) / ((t * t).sum() + (p * p).sum() + 1))
+        ce = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels)))
+        expected_sum = (ce + 0.5 * dice) * 3  # sum convention: x n_real
+
+        fn = get_batch_loss("ce_dice", "boundary")
+        got = float(fn(jnp.asarray(logits),
+                       {"label": jnp.asarray(labels[..., None])},
+                       jnp.ones(3)))
+        assert np.isclose(got, expected_sum, rtol=1e-5)
+
+        # weight-0 padding slot changes nothing
+        logits_p = np.concatenate([logits, rng.normal(size=(1, 8, 8, 3))]).astype(np.float32)
+        labels_p = np.concatenate([labels, labels[:1]])
+        got_p = float(fn(jnp.asarray(logits_p),
+                         {"label": jnp.asarray(labels_p[..., None])},
+                         jnp.array([1.0, 1.0, 1.0, 0.0])))
+        assert np.isclose(got_p, expected_sum, rtol=1e-5)
+
+    def test_epoch_batches_respects_logical_batch_size(self):
+        """With step_size > batch_size (mesh round-up) each step still draws
+        only batch_size REAL samples; extras are weight-0 (ADVICE round-1)."""
+        from microbeseg_tpu.training.data import epoch_batches
+
+        rng_np = np.random.default_rng(0)
+        batches = list(epoch_batches(10, 4, rng_np, shuffle=True, step_size=8))
+        assert len(batches) == 3  # ceil(10/4)
+        seen = []
+        for idx, w in batches:
+            assert idx.shape == (8,) and w.shape == (8,)
+            assert w.sum() <= 4  # never more than the configured batch size
+            seen.extend(idx[w > 0].tolist())
+        assert sorted(seen) == list(range(10))  # each sample exactly once
+
 
 class TestOptimizers:
     def test_gradient_centralization(self):
