@@ -54,9 +54,16 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=40)
     parser.add_argument("--n_train", type=int, default=24)
+    parser.add_argument("--normalization", default="gn",
+                        choices=("bn", "gn", "in"),
+                        help="'bn' is the reference default "
+                             "(src/training/train.py:187)")
+    parser.add_argument("--out", default=None,
+                        help="output dir (default: repo/_e2e_out)")
     args = parser.parse_args()
 
-    out = Path(__file__).resolve().parents[1] / "_e2e_out"
+    out = (Path(args.out) if args.out
+           else Path(__file__).resolve().parents[1] / "_e2e_out")
     shutil.rmtree(out, ignore_errors=True)
     data_dir = out / "trainset"
     models_dir = out / "models"
@@ -78,7 +85,7 @@ def main():
 
     # 3. train
     cfg = TrainConfig(model=ModelConfig(filters=(16, 128), act_fun="mish",
-                                    normalization="gn"),
+                                        normalization=args.normalization),
                       optimizer="ranger", batch_size=8,
                       run_name="distance_model_01", max_epochs=args.epochs)
     data = TrainingData.from_directory(data_dir, label_type="distance")

@@ -162,6 +162,15 @@ def get_max_epochs(n_samples: int, crop_size: int) -> int:
 # JSON sidecar interop
 # ---------------------------------------------------------------------------
 
+# Human-readable description of the on-device augmentation pipeline, stored
+# under the sidecar's 'transforms' key like the reference stores the repr of
+# its Compose (reference train.py:192, mytransforms.py:24-32).
+AUGMENTATION_TRANSFORMS = (
+    "Compose(Flip(p=1.0, D4), Contrast(p=0.45: clahe|stretch|gamma), "
+    "Scaling(p=0.25, 0.85-1.15), Rotate(p=0.25, ±45°), "
+    "Blur(p=0.3, σ 1-2), Noise(p=0.3, σ 1-5%), Normalize([-1,1]))")
+
+
 def write_sidecar(cfg: TrainConfig, path: Path, extra: Optional[dict] = None) -> Path:
     """Write the reference-compatible model JSON sidecar next to a checkpoint.
 
@@ -175,6 +184,7 @@ def write_sidecar(cfg: TrainConfig, path: Path, extra: Optional[dict] = None) ->
         "num_gpus": cfg.num_devices or 1,   # key kept for interop; devices here
         "optimizer": cfg.optimizer,
         "run_name": cfg.run_name,
+        "transforms": AUGMENTATION_TRANSFORMS,
         "max_epochs": cfg.max_epochs,
         "framework": "microbeseg_tpu",
         "compute_dtype": cfg.compute_dtype,

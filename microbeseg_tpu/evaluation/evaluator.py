@@ -78,7 +78,12 @@ class Evaluator:
                 self.text_output("Stop evaluation due to user interaction.")
                 return None
 
-            engine = InferenceEngine.from_checkpoint(model_path, mesh=self.mesh)
+            # eval pre-processing: no CLAHE, no scaling (reference
+            # eval.py:123-124); EvalConfig.batch_size drives device batching
+            from microbeseg_tpu.config import InferConfig
+            engine = InferenceEngine.from_checkpoint(
+                model_path, cfg=InferConfig(batch_size=self.cfg.batch_size),
+                mesh=self.mesh)
             label_type = engine.label_type
 
             if label_type == "distance":

@@ -104,6 +104,10 @@ class MicrobeSegMainWindow(QMainWindow):
         self.setWindowTitle("microbeSEG-tpu")
         self._build_ui()
         self._apply_dark_palette()
+        try:
+            self.refresh_model_list()
+        except Exception:
+            pass  # store/model dirs may not exist yet
 
     # ------------------------------------------------------------------
     def _build_ui(self):
@@ -123,10 +127,23 @@ class MicrobeSegMainWindow(QMainWindow):
         self.crop_size_box = QComboBox()
         self.crop_size_box.addItems(["256", "320", "128"])
         layout.addWidget(self.crop_size_box, 0, 5)
+        # channel selection (reference settings area, microbe_seg_gui.py)
+        layout.addWidget(QLabel("Channel:"), 0, 6)
+        self.channel_box = QSpinBox()
+        self.channel_box.setRange(0, 16)
+        layout.addWidget(self.channel_box, 0, 7)
+
+        # trained-model selection with AJI+ scores
+        # (reference get_trained_models, microbe_seg_gui.py:1273-1299)
+        layout.addWidget(QLabel("Model:"), 1, 4)
+        self.model_box = QComboBox()
+        layout.addWidget(self.model_box, 1, 5, 1, 3)
 
         # workflow buttons
         buttons = [
+            ("Import data", self.on_import),
             ("Create crops", self.on_create_crops),
+            ("Annotate", self.on_annotate),
             ("Export trainset", self.on_export),
             ("Train", self.on_train),
             ("Evaluate", self.on_evaluate),
@@ -135,10 +152,12 @@ class MicrobeSegMainWindow(QMainWindow):
             ("Export results", self.on_result_export),
             ("Stop (Ctrl+C)", self.on_stop),
         ]
+        self.buttons = {}
         row = 1
         for i, (name, cb) in enumerate(buttons):
             btn = QPushButton(name)
             btn.clicked.connect(cb)
+            self.buttons[name] = btn
             layout.addWidget(btn, row + i // 4, i % 4)
 
         # crop review pane
@@ -214,13 +233,90 @@ class MicrobeSegMainWindow(QMainWindow):
             "Workflows match hip-satomi/microbeSEG; see docs/PARITY.md")
 
     # ------------------------------------------------------------------
+    # model listing (reference get_trained_models, gui:1273-1299)
+    # ------------------------------------------------------------------
+    def get_trained_models(self):
+        """(label, ckpt_path) per trained model; AJI+ appended when the
+        aggregated evaluation csv has a score for it."""
+        import pandas as pd
+
+        trainset = self.store.dataset_name(int(self.trainset_box.value()))
+        scores = {}
+        agg = self.eval_results_path / f"{trainset}.csv"
+        if agg.is_file():
+            df = pd.read_csv(agg)
+            for _, row in df.iterrows():
+                # model column format: "{trainset}: {run_name}"
+                name = str(row["model"]).split(": ")[-1]
+                scores[name] = float(row["aji+ (mean)"])
+        out = []
+        for ckpt in sorted((self.model_path / trainset).glob("*.ckpt")):
+            label = ckpt.stem
+            if ckpt.stem in scores:
+                label += f"  (AJI+ {scores[ckpt.stem]:.3f})"
+            out.append((label, ckpt))
+        return out
+
+    def refresh_model_list(self):
+        self._models = self.get_trained_models()
+        self.model_box.clear()
+        self.model_box.addItems([label for label, _ in self._models])
+
+    def _selected_model(self):
+        models = getattr(self, "_models", None) or self.get_trained_models()
+        if not models:
+            return None
+        idx = max(self.model_box.currentIndex(), 0)
+        return models[min(idx, len(models) - 1)][1]
+
+    # ------------------------------------------------------------------
     # workflows
     # ------------------------------------------------------------------
+    def on_import(self):
+        """Import local img/mask pairs into the trainset (reference
+        DataImportWorker + GUI import menu)."""
+        from microbeseg_tpu.client.workers import import_data
+
+        files, _ = QFileDialog.getOpenFileNames(
+            self, "Select images (mask_* files are paired automatically)")
+        if not files:
+            return
+        img_paths = [Path(f) for f in files
+                     if not Path(f).name.startswith("mask")]
+        mask_paths = []
+        for p in img_paths:
+            cand = p.parent / p.name.replace("img", "mask")
+            mask_paths.append(cand if cand.is_file() and cand != p else None)
+
+        def job(text_output, progress, should_stop):
+            return import_data(self.store, int(self.trainset_box.value()),
+                               img_paths, mask_paths,
+                               crop_size=int(self.crop_size_box.currentText()),
+                               text_output=text_output, progress=progress)
+
+        self._run_worker(job)
+
+    def on_annotate(self):
+        """Open the external annotation tool (reference gui:1993-2004)."""
+        import json
+        import webbrowser
+
+        settings_path = Path.cwd() / "settings.json"
+        url = ""
+        if settings_path.is_file():
+            url = json.loads(settings_path.read_text()).get(
+                "annotation_tool_url", "")
+        if not url:
+            self.log.append("No annotation_tool_url in settings.json")
+            return
+        webbrowser.open(url)
+
     def on_export(self):
         from microbeseg_tpu.client.workers import export_trainset
         self._run_worker(export_trainset, self.store,
                          int(self.trainset_box.value()),
-                         self.training_data_path)
+                         self.training_data_path,
+                         channel=int(self.channel_box.value()))
 
     def on_train(self):
         from microbeseg_tpu.training.workers import create_labels, run_training
@@ -256,25 +352,25 @@ class MicrobeSegMainWindow(QMainWindow):
             return ev.evaluate(self.training_data_path / trainset,
                                self.eval_results_path / trainset, models)
 
-        self._run_worker(job)
+        self._run_worker(job, on_done=lambda _: self.refresh_model_list())
 
     def on_inference(self):
         from microbeseg_tpu.client.workers import infer_dataset
         from microbeseg_tpu.inference.engine import InferenceEngine
 
-        trainset = self.store.dataset_name(int(self.trainset_box.value()))
-        ckpts = sorted((self.model_path / trainset).glob("*.ckpt"))
-        if not ckpts:
+        ckpt = self._selected_model()
+        if ckpt is None:
             self.log.append("No models found.")
             return
-        engine = InferenceEngine.from_checkpoint(ckpts[-1])
+        engine = InferenceEngine.from_checkpoint(ckpt)
         ids = [r.image_id for r in
                self.store.list_images(int(self.dataset_box.value()))]
 
         def job(text_output, progress, should_stop):
             return infer_dataset(self.store, ids, engine,
-                                 model_name=ckpts[-1].stem,
+                                 model_name=ckpt.stem,
                                  result_dir=self.inference_results_path,
+                                 channel=int(self.channel_box.value()),
                                  text_output=text_output, progress=progress,
                                  should_stop=should_stop)
 
@@ -312,7 +408,8 @@ class MicrobeSegMainWindow(QMainWindow):
         from microbeseg_tpu.client.workers import CropGenerator
 
         self._crop_gen = CropGenerator(
-            self.store, crop_size=int(self.crop_size_box.currentText()))
+            self.store, crop_size=int(self.crop_size_box.currentText()),
+            channel=int(self.channel_box.value()))
         self._crop_items = self._crop_gen.crop_list(
             int(self.dataset_box.value()))
         if not self._crop_items:

@@ -184,6 +184,13 @@ class Trainer:
         opt_state = tx.init(params)
 
         train_step, eval_step = self._build_steps(tx, has_bs)
+        # 'bn': running stats drift from eval-input statistics under the
+        # augmented train distribution, corrupting val losses and therefore
+        # best-checkpoint selection; re-estimate exact stats on non-augmented
+        # train images before EVERY validation phase (precise BN — costs one
+        # forward pass over the train set per epoch, 'bn' only)
+        stat_step = (self._make_stat_step(
+            jax.tree.map(jnp.zeros_like, batch_stats)) if has_bs else None)
 
         np_rng = np.random.default_rng(cfg.seed + (1000 if second_run else 0))
         step_key = jax.random.PRNGKey(cfg.seed + (2 if second_run else 3))
@@ -224,6 +231,10 @@ class Trainer:
                 running += float(loss_sum)
             train_loss = running / len(data.train)
             train_hist.append(train_loss)
+
+            if stat_step is not None:
+                batch_stats = self._precise_stats(
+                    stat_step, params, train_imgs, step_bs)
 
             # --- val phase ---
             running = 0.0
@@ -275,6 +286,102 @@ class Trainer:
                             "second_run": second_run}
         return best_loss
 
+    # ------------------------------------------------------------------
+    # BatchNorm statistic re-estimation ("precise BN")
+    # ------------------------------------------------------------------
+
+    def _make_stat_step(self, zero_bs):
+        """Jitted per-batch raw-moment extractor: feeding zeroed running
+        stats through flax's EMA returns (1 - momentum) * batch_stat, so the
+        raw batch moments are recovered exactly by dividing out 0.1."""
+        model = self.model
+        bsh = batch_sharding(self.mesh)
+        rsh = replicated_sharding(self.mesh)
+
+        def stat_step(params, images):
+            _, mutated = model.apply(
+                {"params": params, "batch_stats": zero_bs},
+                normalize_val(images), train=True, mutable=["batch_stats"])
+            return jax.tree.map(lambda s: s / (1.0 - 0.9),
+                                mutated["batch_stats"])
+
+        return jax.jit(stat_step, in_shardings=(rsh, bsh), out_shardings=rsh)
+
+    def _precise_stats(self, stat_step, params, images: np.ndarray,
+                       step_bs: int):
+        """Exact per-layer moments over ``images`` ("precise BN"): batch
+        moments are pooled with mean* = E_b[mean_b] and
+        var* = E_b[var_b] + Var_b[mean_b] (exact for equal-size batches; the
+        ragged tail wraps around, a documented slight duplicate weighting)."""
+        n = images.shape[0]
+        order = np.arange(n)
+        sum_mean = sum_msq = None
+        n_batches = 0
+        for start in range(0, n, step_bs):
+            idx = np.resize(order[start:] if start + step_bs > n
+                            else order[start:start + step_bs], step_bs)
+            stats = jax.device_get(stat_step(params, images[idx]))
+            if sum_mean is None:
+                sum_mean = jax.tree.map(jnp.zeros_like, stats)
+                sum_msq = jax.tree.map(jnp.zeros_like, stats)
+            sum_mean = jax.tree.map(jnp.add, sum_mean, stats)
+            sum_msq = jax.tree.map(lambda acc, s: acc + s * s, sum_msq, stats)
+            n_batches += 1
+
+        def _combine(col_mean, col_msq):
+            out = {}
+            for layer, stats_m in col_mean.items():
+                if isinstance(stats_m, dict) and "mean" in stats_m:
+                    e_mean = stats_m["mean"] / n_batches
+                    e_var = stats_m["var"] / n_batches
+                    e_mean_sq = col_msq[layer]["mean"] / n_batches
+                    out[layer] = {
+                        "mean": e_mean,
+                        "var": e_var + jnp.maximum(e_mean_sq - e_mean ** 2,
+                                                   0.0),
+                    }
+                else:
+                    out[layer] = _combine(stats_m, col_msq[layer])
+            return out
+
+        return _combine(sum_mean, sum_msq)
+
+    def recalibrate_batch_stats(self, data: TrainingData) -> None:
+        """Re-estimate BatchNorm running statistics over the train set and
+        rewrite the best checkpoint (standalone entry point; during training
+        the same pass runs every epoch before validation).
+
+        The reference default 'bn' (src/training/train.py:187) trains on
+        heavily augmented batches, so the EMA running stats drift far from
+        the distribution eval-mode inputs actually have — predictions
+        collapse at inference (docs/E2E_RESULTS.md round 1).  This pass feeds
+        NON-augmented, eval-normalized train images through the net in train
+        mode and replaces the running stats with the exact pooled moments.
+        """
+        from microbeseg_tpu.models.io import load_checkpoint, save_checkpoint
+
+        ckpt_path = self.path_models / f"{self.cfg.run_name}.ckpt"
+        sample = jnp.zeros((1, data.crop_size, data.crop_size,
+                            self.cfg.model.ch_in), jnp.float32)
+        variables = self.model.init(jax.random.PRNGKey(0), sample,
+                                    train=False)
+        if "batch_stats" not in variables or not variables["batch_stats"]:
+            return  # gn / in: nothing to recalibrate
+        variables = load_checkpoint(jax.device_get(dict(variables)),
+                                    ckpt_path)
+        params = variables["params"]
+        zero_bs = jax.tree.map(jnp.zeros_like, variables["batch_stats"])
+        stat_step = self._make_stat_step(zero_bs)
+        n = len(data.train)
+        step_bs = pad_batch_to_devices(min(self.cfg.batch_size, n),
+                                       self.mesh.devices.size)
+        new_bs = self._precise_stats(stat_step, params, data.train.images,
+                                     step_bs)
+        save_checkpoint({"params": params, "batch_stats": new_bs},
+                        self.path_models / self.cfg.run_name)
+        self.text_output(
+            f"Recalibrated BatchNorm statistics over {n} train images")
+
     def _write_loss_history(self, train_hist, val_hist, second_run):
         stats = np.transpose(np.array(
             [list(range(1, len(train_hist) + 1)), train_hist, val_hist]))
@@ -310,5 +417,8 @@ class Trainer:
                 extra["training_time_run_2"] = t2.get("training_time")
                 extra["trained_epochs_run2"] = t2.get("trained_epochs")
         if not self.stopped:
+            # 'bn' (the reference default): re-estimate running stats so
+            # eval-mode inference sees calibrated statistics
+            self.recalibrate_batch_stats(data)
             write_sidecar(cfg, self.path_models, extra=extra)
         return best

@@ -156,5 +156,23 @@ def run_training(path_data: Path, path_models: Path, label_type: str,
                     return False
         if trainer.stopped:
             return False
+        _zip_trainset(path_data, path_models / f"{run_name}_trainset.zip")
         progress(int(100 * (i + 1) / iterations))
     return True
+
+
+def _zip_trainset(path_data: Path, zip_path: Path) -> None:
+    """Reproducibility snapshot: pack the training set (minus the test split)
+    next to the model (reference train.py:265-274)."""
+    import os
+    import zipfile
+
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for sub_dir in sorted(Path(path_data).iterdir()):
+            if not sub_dir.is_dir() or sub_dir.stem == "test":
+                continue
+            for file in sorted(sub_dir.glob("*")):
+                z.write(file,
+                        arcname=os.path.join(path_data.stem, sub_dir.stem,
+                                             file.name),
+                        compress_type=zipfile.ZIP_DEFLATED)

@@ -66,6 +66,23 @@ class TestContours:
         agree = (recon > 0) == (blobs > 0)
         assert agree.mean() > 0.97
 
+    def test_annulus_hole_matches_reference_covers_semantics(self):
+        """Reference hull_polygon.py:51-89: when findContours returns a hole
+        hierarchy, the covers() check selects and returns ONLY the outer
+        contour — holes are dropped from the polygon representation.  Our
+        outer-boundary Moore tracing produces the same result by
+        construction: one contour whose rasterization fills the hole."""
+        yy, xx = np.mgrid[0:40, 0:40]
+        r2 = (yy - 20) ** 2 + (xx - 20) ** 2
+        annulus = ((r2 <= 225) & (r2 >= 36)).astype(np.uint16)
+        polys = mask_to_polygons(annulus)
+        assert len(polys[1]) == 1  # outer contour only (reference :74-79)
+        rec = polygon_to_mask(polys[1][0], annulus.shape)
+        disk = r2 <= 225
+        assert not (rec & ~disk).any()      # stays inside the outer circle
+        assert not (disk & ~rec).any()      # hole is filled, like the
+        #                                     reference's outer-only polygon
+
     def test_roi_string_roundtrip(self):
         poly = np.array([[1, 2], [3, 4], [5, 6]])
         s = " ".join(f"{x},{y}" for x, y in poly)

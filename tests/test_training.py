@@ -205,6 +205,84 @@ class TestAugment:
         assert out.shape == img.shape
 
 
+class TestBatchNormRecalibration:
+    def test_recalibration_aligns_eval_with_train_mode(self, tmp_path, rng):
+        """After precise-BN re-estimation, eval-mode (running-stat) outputs
+        match train-mode (batch-stat) outputs on the train distribution —
+        the fix for the reference-default 'bn' collapse (VERDICT item 4)."""
+        from microbeseg_tpu.models.io import load_checkpoint, save_checkpoint
+        from microbeseg_tpu.ops.augment import normalize_val
+        from microbeseg_tpu.training.data import SplitArrays, TrainingData
+        from microbeseg_tpu.training.trainer import Trainer
+
+        n, size = 16, 16
+        images = rng.integers(0, 65535, (n, size, size, 1)).astype(np.float32)
+        labels = {
+            "border_label": rng.random((n, size, size, 1)).astype(np.float32),
+            "cell_label": rng.random((n, size, size, 1)).astype(np.float32)}
+        split = SplitArrays(images=images, labels=labels,
+                            ids=[str(i) for i in range(n)])
+        data = TrainingData(train=split, val=split, crop_size=size)
+
+        cfg = TrainConfig(model=ModelConfig(filters=(4, 8),
+                                            normalization="bn"),
+                          batch_size=8, run_name="bn_model_01",
+                          compute_dtype="float32")
+        trainer = Trainer(cfg, tmp_path)
+        variables = trainer.model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, size, size, 1)),
+            train=False)
+        # poison the running stats (mimicking augmentation drift)
+        bad_bs = jax.tree.map(
+            lambda s: jnp.full_like(s, 7.0), variables["batch_stats"])
+        save_checkpoint({"params": variables["params"],
+                         "batch_stats": bad_bs}, tmp_path / cfg.run_name)
+
+        def eval_out(bs):
+            return trainer.model.apply(
+                {"params": variables["params"], "batch_stats": bs},
+                normalize_val(jnp.asarray(images)), train=False)
+
+        def train_mode_out():
+            out, _ = trainer.model.apply(
+                {"params": variables["params"],
+                 "batch_stats": bad_bs},
+                normalize_val(jnp.asarray(images)), train=True,
+                mutable=["batch_stats"])
+            return out
+
+        ref_border, ref_cell = train_mode_out()
+        bad_border, _ = eval_out(bad_bs)
+        bad_err = float(jnp.abs(bad_border - ref_border).mean())
+
+        trainer.recalibrate_batch_stats(data)
+        new_vars = load_checkpoint(jax.device_get(dict(variables)),
+                                   tmp_path / f"{cfg.run_name}.ckpt")
+        good_border, good_cell = eval_out(new_vars["batch_stats"])
+        good_err = float(jnp.abs(good_border - ref_border).mean())
+        # full-set batch stats == recalibrated running stats (up to the
+        # batch-vs-whole-set moment split), so eval must track train mode
+        assert good_err < 0.05
+        assert good_err < bad_err / 5
+
+    def test_recalibration_noop_for_groupnorm(self, tmp_path, rng):
+        from microbeseg_tpu.training.data import SplitArrays, TrainingData
+        from microbeseg_tpu.training.trainer import Trainer
+
+        n, size = 4, 16
+        split = SplitArrays(
+            images=rng.integers(0, 99, (n, size, size, 1)).astype(np.float32),
+            labels={"border_label": np.zeros((n, size, size, 1), np.float32),
+                    "cell_label": np.zeros((n, size, size, 1), np.float32)},
+            ids=[str(i) for i in range(n)])
+        data = TrainingData(train=split, val=split, crop_size=size)
+        cfg = TrainConfig(model=ModelConfig(filters=(8, 16),
+                                            normalization="gn"),
+                          batch_size=4, run_name="gn_model_01",
+                          compute_dtype="float32")
+        Trainer(cfg, tmp_path).recalibrate_batch_stats(data)  # no ckpt needed
+
+
 class TestSmokeTrain:
     def test_loss_decreases_and_checkpoints(self, tmp_path, rng):
         """End-to-end: synthetic blob distance dataset, tiny DUNet, sharded
