@@ -29,8 +29,18 @@ import os
 import sys
 import time
 
+if "--mesh" in sys.argv:
+    # the mesh mode runs on a virtual 8-CPU device mesh, not the TPU chip:
+    # force the platform BEFORE jax initializes (the ambient axon plugin
+    # would otherwise claim the backend — see tests/conftest.py)
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
+
+if "--mesh" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
@@ -144,6 +154,87 @@ def _train_slope_ms(model, images):
         (params, opt_state), n=5)
 
 
+def mesh_main():
+    """--mesh: data-parallel scaling correctness on the virtual 8-CPU mesh.
+
+    Runs the sharded train step (augment + fwd/bwd, psum grad all-reduce and
+    sync-BN reductions inserted by XLA's partitioner) on an 8-device mesh and
+    a 1-device mesh with identical batches/keys and asserts loss, gradient,
+    and batch-statistic equivalence — the driver-runnable counterpart of
+    tests/test_parallel.py.
+    """
+    import numpy as np
+
+    from microbeseg_tpu.config import ModelConfig, TrainConfig
+    from microbeseg_tpu.models.unet import build_unet
+    from microbeseg_tpu.ops.augment import augment_batch
+    from microbeseg_tpu.parallel.mesh import (batch_sharding, get_mesh,
+                                              replicated_sharding)
+    from microbeseg_tpu.training.losses import get_batch_loss
+
+    assert len(jax.devices()) == 8, f"expected 8 devices, got {jax.devices()}"
+    rng = np.random.default_rng(0)
+    size, n = 16, 8
+    images = jnp.asarray(
+        rng.integers(0, 65535, (n, size, size, 1)).astype(np.float32))
+    labels = {
+        "border_label": jnp.asarray(
+            rng.random((n, size, size, 1)).astype(np.float32)),
+        "cell_label": jnp.asarray(
+            rng.random((n, size, size, 1)).astype(np.float32))}
+
+    cfg = TrainConfig(model=ModelConfig(filters=(8, 16), act_fun="mish",
+                                        normalization="bn"),
+                      batch_size=n, compute_dtype="float32")
+    model = build_unet(cfg.model, dtype=jnp.float32)
+    batch_loss = get_batch_loss(cfg.loss, cfg.label_type)
+    variables = model.init(jax.random.PRNGKey(7),
+                           jnp.zeros((1, size, size, 1)), train=False)
+
+    def grad_step(params, bs, images, labels, weights, key):
+        aug_img, aug_labels = augment_batch(key, images, labels, "distance")
+
+        def losses(p):
+            preds, mut = model.apply({"params": p, "batch_stats": bs},
+                                     aug_img, train=True,
+                                     mutable=["batch_stats"])
+            return batch_loss(preds, aug_labels, weights), mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            losses, has_aux=True)(params)
+        return loss, grads, new_bs
+
+    out = {}
+    for n_dev in (1, 8):
+        mesh = get_mesh(n_dev)
+        bsh, rsh = batch_sharding(mesh), replicated_sharding(mesh)
+        step = jax.jit(grad_step, in_shardings=(rsh, rsh, bsh, bsh, bsh, rsh),
+                       out_shardings=(rsh, rsh, rsh))
+        loss, grads, new_bs = step(
+            variables["params"], variables["batch_stats"],
+            images, labels, jnp.ones(n), jax.random.PRNGKey(11))
+        out[n_dev] = (float(loss), jax.device_get(grads),
+                      jax.device_get(new_bs))
+
+    assert np.isclose(out[1][0], out[8][0], rtol=1e-5), \
+        f"loss diverged: {out[1][0]} vs {out[8][0]}"
+    max_rel = 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(out[1][1]),
+                    jax.tree_util.tree_leaves(out[8][1])):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6)
+        denom = np.maximum(np.abs(a), 1e-6)
+        max_rel = max(max_rel, float(np.max(np.abs(a - b) / denom)))
+    for a, b in zip(jax.tree_util.tree_leaves(out[1][2]),
+                    jax.tree_util.tree_leaves(out[8][2])):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6)
+    print(json.dumps({
+        "metric": "mesh8-vs-mesh1 train-step equivalence "
+                  "(loss+grads+sync-BN stats)",
+        "value": 1.0, "unit": "pass",
+        "vs_baseline": max_rel,  # worst relative gradient deviation
+    }))
+
+
 def main():
     from microbeseg_tpu.config import ModelConfig
     from microbeseg_tpu.models.unet import build_unet
@@ -208,4 +299,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--mesh" in sys.argv:
+        mesh_main()
+    else:
+        main()

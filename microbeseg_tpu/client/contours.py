@@ -80,13 +80,71 @@ def trace_boundary(mask: np.ndarray) -> np.ndarray:
     return np.array(contour, dtype=np.int64)
 
 
-def mask_to_polygons(labels: np.ndarray) -> Dict[int, List[np.ndarray]]:
-    """Per-instance outer contours: {id: [(n, 2) arrays of (x, y) vertices]}.
+def trace_holes(mask: np.ndarray) -> List[np.ndarray]:
+    """Boundaries of interior holes of a binary object.
+
+    A hole is a 4-connected background component not touching the image
+    border (the complement-connectivity dual of the 8-connected object).
+    Each hole's boundary is Moore-traced like an outer contour.  Returns a
+    list of (n, 2) (y, x) arrays (reference: cv2.findContours RETR_TREE
+    yields these as child contours, hull_polygon.py:56-80).
+    """
+    from scipy import ndimage
+
+    mask = np.asarray(mask).astype(bool)
+    bg, n_bg = ndimage.label(~mask, structure=np.array(
+        [[0, 1, 0], [1, 1, 1], [0, 1, 0]]))
+    if n_bg == 0:
+        return []
+    border_ids = np.unique(np.concatenate(
+        [bg[0, :], bg[-1, :], bg[:, 0], bg[:, -1]]))
+    holes = []
+    for b in range(1, n_bg + 1):
+        if b in border_ids:
+            continue
+        contour = trace_boundary(bg == b)
+        if len(contour):
+            holes.append(contour)
+    return holes
+
+
+def polygon_covers(outer_xy: np.ndarray, inner_xy: np.ndarray) -> bool:
+    """True if polygon ``outer`` covers polygon ``inner`` (every vertex of
+    inner inside or on outer) — the shapely ``Polygon.covers`` decision the
+    reference uses to pick the covering outer shape when holes are present
+    (hull_polygon.py:62-80), without the shapely dependency."""
+    outer = np.asarray(outer_xy, np.float64)
+    inner = np.asarray(inner_xy, np.float64)
+    if len(outer) < 3 or len(inner) == 0:
+        return False
+    x, y = outer[:, 0], outer[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    px = inner[:, 0][:, None]
+    py = inner[:, 1][:, None]
+    # on-boundary: vertex coincides with an outer vertex (integer contours)
+    on = np.any((px == x[None, :]) & (py == y[None, :]), axis=1)
+    cond = ((y[None, :] <= py) & (y2[None, :] > py)) | \
+           ((y2[None, :] <= py) & (y[None, :] > py))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (py - y[None, :]) / (y2[None, :] - y[None, :])
+    xint = x[None, :] + t * (x2[None, :] - x[None, :])
+    crossings = np.sum(cond & (px < xint), axis=1)
+    inside = (crossings % 2) == 1
+    return bool(np.all(inside | on))
+
+
+def mask_to_polygons(labels: np.ndarray,
+                     include_holes: bool = False) -> Dict[int, List[np.ndarray]]:
+    """Per-instance contours: {id: [(n, 2) arrays of (x, y) vertices]}.
 
     One contour per connected fragment of the instance (the reference's
-    cv2_countour returns a contour list per id, hull_polygon.py:44-89; like
-    the reference, holes yield only the covering outer contour — interior
-    hole contours are dropped for the ROI).  The x-y order matches the OMERO
+    cv2_countour returns a contour list per id, hull_polygon.py:44-89).
+    Fragments with interior holes are handled as the reference does: the
+    hole contours are traced, the covering outer contour is identified via
+    the covers test, and only the outer contour represents the fragment in
+    the ROI (hull_polygon.py:62-80 returns the covering shape).  Pass
+    ``include_holes=True`` to ALSO get each fragment's hole contours
+    appended after its outer contour.  The x-y order matches the OMERO
     polygon ROI string convention.
     """
     from scipy import ndimage
@@ -100,10 +158,21 @@ def mask_to_polygons(labels: np.ndarray) -> Dict[int, List[np.ndarray]]:
         frags, n_frags = ndimage.label(inst, structure=np.ones((3, 3)))
         contours = []
         for f in range(1, n_frags + 1):
-            contour_yx = trace_boundary(frags == f)
+            frag = frags == f
+            contour_yx = trace_boundary(frag)
             if len(contour_yx) == 0:
                 continue
-            contours.append(contour_yx[:, ::-1].copy())  # (x, y)
+            outer_xy = contour_yx[:, ::-1].copy()       # (x, y)
+            holes_yx = trace_holes(frag)
+            if holes_yx:
+                # reference semantics: keep the covering outer shape
+                covered = [h for h in holes_yx
+                           if polygon_covers(outer_xy, h[:, ::-1])]
+                contours.append(outer_xy)
+                if include_holes:
+                    contours.extend(h[:, ::-1].copy() for h in covered)
+            else:
+                contours.append(outer_xy)
         if contours:
             out[int(inst_id)] = contours
     return out

@@ -90,6 +90,61 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 2,
     return labels
 
 
+@partial(jax.jit, static_argnames=("steps_per_check", "max_iters"))
+def sequentialize_components(labels: jnp.ndarray, max_iters: int = 0,
+                             steps_per_check: int = 4) -> jnp.ndarray:
+    """Map CC propagation ids to sequential ranks 1..n, gather/scatter-free.
+
+    ``connected_components`` labels each component with the max linear pixel
+    index + 1, so the pixel holding that index (the "root") is identified
+    elementwise; roots are ranked with one prefix sum and the rank is flooded
+    back over each component by neighbor-max propagation gated on equal
+    source ids.  Replaces the scatter+gather of ``relabel_sequential`` on the
+    inference hot path (each costs ~0.4 ms per 65K elements on TPU —
+    scripts/microbench_gather.py — vs cheap VPU sweeps here).
+
+    Convergence is O(component diameter) sweeps — intended for seed
+    components (cell cores); for arbitrary masks use ``relabel_sequential``.
+    """
+    labels = labels.astype(jnp.int32)
+    H, W = labels.shape
+    if max_iters == 0:
+        max_iters = H + W
+    idx = (jnp.arange(H * W, dtype=jnp.int32) + 1).reshape(H, W)
+    mask = labels > 0
+    roots = (labels == idx) & mask
+    seq = jnp.cumsum(roots.reshape(-1).astype(jnp.int32)).reshape(H, W)
+    rank0 = jnp.where(roots, seq, 0)
+
+    def spread(r):
+        rp = jnp.pad(r, 1)
+        lp = jnp.pad(labels, 1)
+        out = r
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                if dy == 1 and dx == 1:
+                    continue
+                nr = rp[dy:dy + H, dx:dx + W]
+                nl = lp[dy:dy + H, dx:dx + W]
+                out = jnp.maximum(out, jnp.where(nl == labels, nr, 0))
+        return jnp.where(mask, out, 0)
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        r, _, it = state
+        new = r
+        for _ in range(steps_per_check):
+            new = spread(new)
+        return new, jnp.any(new != r), it + steps_per_check
+
+    rank, _, _ = jax.lax.while_loop(
+        cond, body, (rank0, jnp.array(True), jnp.int32(0)))
+    return rank
+
+
 @partial(jax.jit, static_argnames=("max_labels", "id_bound"))
 def relabel_sequential(labels: jnp.ndarray, max_labels: int = 256,
                        id_bound: int = 0) -> jnp.ndarray:

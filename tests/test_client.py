@@ -83,6 +83,37 @@ class TestContours:
         assert not (disk & ~rec).any()      # hole is filled, like the
         #                                     reference's outer-only polygon
 
+    def test_annulus_hole_tracing_and_covers(self):
+        """Hole contours are traced (reference findContours RETR_TREE child
+        contours) and the covers test identifies the covering outer shape
+        (reference hull_polygon.py:62-80); include_holes=True exposes them."""
+        from microbeseg_tpu.client.contours import polygon_covers, trace_holes
+
+        yy, xx = np.mgrid[0:40, 0:40]
+        r2 = (yy - 20) ** 2 + (xx - 20) ** 2
+        annulus = (r2 <= 225) & (r2 >= 36)
+        holes = trace_holes(annulus)
+        assert len(holes) == 1
+        # every hole pixel lies strictly inside the inner circle
+        assert all(r2[y, x] < 36 for y, x in holes[0])
+
+        outer = trace_boundary(annulus)[:, ::-1]
+        assert polygon_covers(outer, holes[0][:, ::-1])
+        assert not polygon_covers(holes[0][:, ::-1], outer)
+
+        polys = mask_to_polygons(annulus.astype(np.uint16),
+                                 include_holes=True)
+        assert len(polys[1]) == 2  # outer + hole contour
+        # the ROI path (default) still gets only the covering outer contour
+        assert len(mask_to_polygons(annulus.astype(np.uint16))[1]) == 1
+
+    def test_solid_object_has_no_holes(self):
+        from microbeseg_tpu.client.contours import trace_holes
+
+        m = np.zeros((12, 12), bool)
+        m[3:9, 3:9] = True
+        assert trace_holes(m) == []
+
     def test_roi_string_roundtrip(self):
         poly = np.array([[1, 2], [3, 4], [5, 6]])
         s = " ".join(f"{x},{y}" for x, y in poly)

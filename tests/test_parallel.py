@@ -91,14 +91,17 @@ class TestDataParallelEquivalence:
             out[n_dev] = (float(loss), jax.device_get(grads),
                           jax.device_get(new_bs))
 
+        # atol 1e-5: the augmentation stage runs interpolation-matrix
+        # matmuls whose f32 accumulation order is sharding-dependent, so
+        # shards see reduction-noise-level input differences
         assert np.isclose(out[1][0], out[8][0], rtol=1e-5)
         for a, b in zip(jax.tree_util.tree_leaves(out[1][1]),
                         jax.tree_util.tree_leaves(out[8][1])):
-            np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6)
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
         if norm == "bn":
             for a, b in zip(jax.tree_util.tree_leaves(out[1][2]),
                             jax.tree_util.tree_leaves(out[8][2])):
-                np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6)
+                np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
 
     def test_epoch_loss_history_mesh8_matches_mesh1(self, tmp_path, rng):
         """Full training-protocol equivalence at reporting precision: the
