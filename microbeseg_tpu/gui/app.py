@@ -21,6 +21,7 @@ from PyQt5.QtCore import QObject, Qt, QThread, pyqtSignal
 from PyQt5.QtGui import QColor, QImage, QKeySequence, QPalette, QPixmap
 from PyQt5.QtWidgets import (
     QApplication,
+    QCheckBox,
     QComboBox,
     QFileDialog,
     QGridLayout,
@@ -114,6 +115,82 @@ class MicrobeSegMainWindow(QMainWindow):
         central = QWidget()
         layout = QGridLayout(central)
 
+        # OMERO connection bar (reference gui:141-148, 927-1004: Username/
+        # Password/Host/Port + Connect/Disconnect; LocalStore when offline)
+        conn_row = 6
+        layout.addWidget(QLabel("Host:"), conn_row, 0)
+        self.host_edit = QLineEdit()
+        layout.addWidget(self.host_edit, conn_row, 1)
+        layout.addWidget(QLabel("Port:"), conn_row, 2)
+        self.port_box = QSpinBox()
+        self.port_box.setRange(1, 65535)
+        self.port_box.setValue(4064)
+        layout.addWidget(self.port_box, conn_row, 3)
+        layout.addWidget(QLabel("Username:"), conn_row, 4)
+        self.username_edit = QLineEdit()
+        layout.addWidget(self.username_edit, conn_row, 5)
+        layout.addWidget(QLabel("Password:"), conn_row, 6)
+        self.password_edit = QLineEdit()
+        self.password_edit.setEchoMode(QLineEdit.Password)
+        layout.addWidget(self.password_edit, conn_row, 7)
+        self.connect_button = QPushButton("Connect")
+        self.connect_button.clicked.connect(self.on_connect)
+        layout.addWidget(self.connect_button, conn_row + 1, 6)
+        self.disconnect_button = QPushButton("Disconnect")
+        self.disconnect_button.clicked.connect(self.on_disconnect)
+        layout.addWidget(self.disconnect_button, conn_row + 1, 7)
+
+        # project browsing + trainset creation (reference gui:151-207,
+        # 1658-1991: Project(s)/Dataset(s) browsing, 'Training set' + Add)
+        layout.addWidget(QLabel("Project id:"), conn_row + 1, 0)
+        self.project_box = QSpinBox()
+        self.project_box.setRange(-1, 10 ** 6)
+        self.project_box.setValue(-1)
+        layout.addWidget(self.project_box, conn_row + 1, 1)
+        self.browse_button = QPushButton("Dataset(s)")
+        self.browse_button.clicked.connect(self.on_browse_datasets)
+        layout.addWidget(self.browse_button, conn_row + 1, 2)
+        self.dataset_combo = QComboBox()
+        self.dataset_combo.currentIndexChanged.connect(
+            self.on_dataset_selected)
+        layout.addWidget(self.dataset_combo, conn_row + 1, 3)
+        layout.addWidget(QLabel("New trainset:"), conn_row + 1, 4)
+        self.new_trainset_edit = QLineEdit()
+        layout.addWidget(self.new_trainset_edit, conn_row + 1, 5)
+        self.add_trainset_button = QPushButton("Add")
+        self.add_trainset_button.clicked.connect(self.on_add_trainset)
+        layout.addWidget(self.add_trainset_button, conn_row + 2, 5)
+
+        # training settings (reference gui:347-370: batch size, iterations,
+        # optimizer, method) + device info (reference gui:240-245)
+        set_row = conn_row + 2
+        layout.addWidget(QLabel("Batch size:"), set_row, 0)
+        self.batch_size_box = QSpinBox()
+        self.batch_size_box.setRange(1, 64)
+        self.batch_size_box.setValue(4)
+        layout.addWidget(self.batch_size_box, set_row, 1)
+        layout.addWidget(QLabel("Iterations:"), set_row, 2)
+        self.iterations_box = QSpinBox()
+        self.iterations_box.setRange(1, 10)
+        self.iterations_box.setValue(1)
+        layout.addWidget(self.iterations_box, set_row, 3)
+        self.optimizer_combo = QComboBox()
+        self.optimizer_combo.addItems(["ranger", "adam"])
+        layout.addWidget(self.optimizer_combo, set_row, 4)
+        self.method_combo = QComboBox()
+        self.method_combo.addItems(["distance", "boundary"])
+        layout.addWidget(self.method_combo, set_row + 1, 4)
+        self.device_label = QLabel(self._device_info())
+        layout.addWidget(self.device_label, set_row + 1, 0, 1, 4)
+
+        # pre-labeling + crop split override (reference gui:274-288)
+        self.prelabel_checkbox = QCheckBox("Pre-labeling")
+        layout.addWidget(self.prelabel_checkbox, set_row + 1, 6)
+        layout.addWidget(QLabel("Add to:"), set_row + 1, 5)
+        self.split_combo = QComboBox()
+        self.split_combo.addItems(["auto", "train", "val", "test"])
+        layout.addWidget(self.split_combo, set_row + 1, 7)
+
         # dataset / trainset selection
         layout.addWidget(QLabel("Dataset id:"), 0, 0)
         self.dataset_box = QSpinBox()
@@ -125,7 +202,9 @@ class MicrobeSegMainWindow(QMainWindow):
         layout.addWidget(self.trainset_box, 0, 3)
         layout.addWidget(QLabel("Crop size:"), 0, 4)
         self.crop_size_box = QComboBox()
-        self.crop_size_box.addItems(["256", "320", "128"])
+        # reference crop sizes (gui:208-211)
+        self.crop_size_box.addItems(["256", "320", "128", "512", "768",
+                                     "1024"])
         layout.addWidget(self.crop_size_box, 0, 5)
         # channel selection (reference settings area, microbe_seg_gui.py)
         layout.addWidget(QLabel("Channel:"), 0, 6)
@@ -184,6 +263,91 @@ class MicrobeSegMainWindow(QMainWindow):
         QShortcut(QKeySequence(Qt.Key_Space), self, activated=self.skip_crop)
         QShortcut(QKeySequence("S"), self, activated=self.skip_crop)
         QShortcut(QKeySequence("F1"), self, activated=self.show_help)
+
+    @staticmethod
+    def _device_info() -> str:
+        """Compute-device summary (reference device settings, gui:240-245 —
+        on TPU the device question is 'which backend / how many chips')."""
+        try:
+            import jax
+            return (f"Device: {jax.default_backend()} "
+                    f"({len(jax.devices())} device(s))")
+        except Exception:
+            return "Device: unavailable"
+
+    # ------------------------------------------------------------------
+    # OMERO connection + browsing (reference gui:927-1004, 1645-1991)
+    # ------------------------------------------------------------------
+    def on_connect(self):
+        from microbeseg_tpu.client.store import OmeroStore
+
+        host = self.host_edit.text().strip()
+        if not host:
+            self.log.append("No host given — staying on the local store.")
+            return
+        try:
+            store = OmeroStore(self.username_edit.text(),
+                               self.password_edit.text(),
+                               host, int(self.port_box.value()))
+        except Exception as exc:
+            QMessageBox.information(self, "Connection failed", str(exc))
+            return
+        self._local_store = self.store
+        self.store = store
+        self.log.append(f"Connected to {host}.")
+
+    def on_disconnect(self):
+        local = getattr(self, "_local_store", None)
+        if local is None:
+            self.log.append("Not connected.")
+            return
+        try:
+            self.store.close()
+        except Exception:
+            pass
+        self.store = local
+        self._local_store = None
+        self.log.append("Disconnected — back on the local store.")
+
+    def on_browse_datasets(self):
+        """Populate the dataset list for the selected project (reference
+        project/dataset browsing dialogs, gui:1658-1797)."""
+        try:
+            ids = self.store.list_datasets(int(self.project_box.value()))
+        except Exception as exc:
+            self.log.append(f"Error: {exc}")
+            return
+        self._dataset_ids = ids
+        self.dataset_combo.clear()
+        self.dataset_combo.addItems(
+            [f"{i}: {self.store.dataset_name(i)}" for i in ids])
+        if ids:
+            self.dataset_combo.setCurrentIndex(0)
+            self.on_dataset_selected(0)
+        else:
+            self.log.append("No datasets in this project.")
+
+    def on_dataset_selected(self, idx: int):
+        ids = getattr(self, "_dataset_ids", [])
+        if 0 <= idx < len(ids):
+            self.dataset_box.setValue(ids[idx])
+            self.trainset_box.setValue(ids[idx])
+
+    def on_add_trainset(self):
+        """Create a new trainset dataset (reference 'Training set' + Add,
+        gui:1879-1991)."""
+        name = self.new_trainset_edit.text().strip()
+        if not name:
+            self.log.append("Give the new trainset a name first.")
+            return
+        try:
+            new_id = self.store.create_dataset(
+                name, project_id=int(self.project_box.value()))
+        except Exception as exc:
+            self.log.append(f"Error: {exc}")
+            return
+        self.trainset_box.setValue(new_id)
+        self.log.append(f"Created trainset '{name}' (id {new_id}).")
 
     def _apply_dark_palette(self):
         palette = QPalette()
@@ -325,14 +489,20 @@ class MicrobeSegMainWindow(QMainWindow):
         path_data = self.training_data_path / trainset
         models = self.model_path / trainset
         models.mkdir(parents=True, exist_ok=True)
+        # training settings from the settings area (reference gui:347-370)
+        method = self.method_combo.currentText()
+        optimizer = self.optimizer_combo.currentText()
+        iterations = int(self.iterations_box.value())
+        batch_size = int(self.batch_size_box.value())
 
         def pipeline(text_output, progress, should_stop):
-            if not create_labels(path_data, "distance",
+            if not create_labels(path_data, method,
                                  text_output=text_output,
                                  progress=progress, should_stop=should_stop):
                 return False
-            return run_training(path_data, models, "distance", 1, "ranger",
-                                4, text_output=text_output,
+            return run_training(path_data, models, method, iterations,
+                                optimizer, batch_size,
+                                text_output=text_output,
                                 progress=progress, should_stop=should_stop)
 
         self._run_worker(pipeline)
@@ -407,9 +577,20 @@ class MicrobeSegMainWindow(QMainWindow):
     def on_create_crops(self):
         from microbeseg_tpu.client.workers import CropGenerator
 
+        engine = None
+        if self.prelabel_checkbox.isChecked():
+            # pre-labeling with the selected model (reference gui:274-276,
+            # 2006-2031)
+            ckpt = self._selected_model()
+            if ckpt is None:
+                self.log.append("Pre-labeling: no model available.")
+            else:
+                from microbeseg_tpu.inference.engine import InferenceEngine
+                engine = InferenceEngine.from_checkpoint(ckpt)
+                self.log.append(f"Pre-labeling with {ckpt.stem}.")
         self._crop_gen = CropGenerator(
             self.store, crop_size=int(self.crop_size_box.currentText()),
-            channel=int(self.channel_box.value()))
+            engine=engine, channel=int(self.channel_box.value()))
         self._crop_items = self._crop_gen.crop_list(
             int(self.dataset_box.value()))
         if not self._crop_items:
@@ -440,7 +621,11 @@ class MicrobeSegMainWindow(QMainWindow):
         from microbeseg_tpu.client.workers import split_assignment
         if not self._crops or idx >= len(self._crops):
             return
-        subset = split_assignment(self._crop_counter)
+        # 'Add to:' override (reference train/val/test checkboxes,
+        # gui:283-288); 'auto' keeps the 4/2/2 cycle
+        override = self.split_combo.currentText()
+        subset = (override if override != "auto"
+                  else split_assignment(self._crop_counter))
         self._crop_counter += 1
         self._crop_gen.upload_crop(self._crops[idx],
                                    int(self.trainset_box.value()), subset)

@@ -196,12 +196,39 @@ class QLabel(_Widget):
 
 
 class QLineEdit(_Widget):
+    Normal, NoEcho, Password = 0, 1, 2
+
     def __init__(self, text=""):
         super().__init__()
         self._text = text
+        self._echo = 0
 
     def setText(self, t):
         self._text = t
+
+    def text(self):
+        return self._text
+
+    def setEchoMode(self, mode):
+        self._echo = mode
+
+    def setPlaceholderText(self, t):
+        self._placeholder = t
+
+
+class QCheckBox(_Widget):
+    def __init__(self, text=""):
+        super().__init__()
+        self._text = text
+        self._checked = False
+        self.stateChanged = BoundSignal()
+
+    def setChecked(self, v):
+        self._checked = bool(v)
+        self.stateChanged.emit(2 if v else 0)
+
+    def isChecked(self):
+        return self._checked
 
     def text(self):
         return self._text
@@ -229,6 +256,7 @@ class QComboBox(_Widget):
         super().__init__()
         self._items = []
         self._idx = -1
+        self.currentIndexChanged = BoundSignal()
 
     def addItems(self, items):
         self._items.extend(items)
@@ -247,6 +275,7 @@ class QComboBox(_Widget):
 
     def setCurrentIndex(self, i):
         self._idx = i
+        self.currentIndexChanged.emit(i)
 
     def currentIndex(self):
         return self._idx
@@ -383,7 +412,7 @@ def install() -> None:
     qtgui.QPalette = QPalette
     qtgui.QPixmap = QPixmap
     qtwidgets = types.ModuleType("PyQt5.QtWidgets")
-    for cls in (QApplication, QComboBox, QFileDialog, QGridLayout,
+    for cls in (QApplication, QCheckBox, QComboBox, QFileDialog, QGridLayout,
                 QHBoxLayout, QLabel, QLineEdit, QMainWindow, QMessageBox,
                 QProgressBar, QPushButton, QShortcut, QSpinBox, QTextEdit,
                 QVBoxLayout, QWidget):

@@ -155,6 +155,58 @@ class TestGuiSmoke:
         win.buttons["Import data"].click()
         assert len(store.list_images(tid)) == before + 1
 
+    def test_connect_disconnect_omero(self, gui_app, tmp_path, rng):
+        """The connection bar builds a REAL OmeroStore against the fake
+        gateway and Disconnect restores the local store (reference
+        gui:927-1004)."""
+        from tests import fake_omero
+
+        win, local_store, *_ = _window(gui_app, tmp_path, rng,
+                                       with_data=False)
+        fake_omero.install()
+        win.host_edit.setText("fake.host")
+        win.username_edit.setText("user")
+        win.password_edit.setText("pw")
+        win.connect_button.click()
+        from microbeseg_tpu.client.store import OmeroStore
+        assert isinstance(win.store, OmeroStore)
+        assert "Connected to fake.host." in win.log.toPlainText()
+        win.disconnect_button.click()
+        assert win.store.root == local_store.root
+        assert "Disconnected" in win.log.toPlainText()
+
+    def test_browse_datasets_and_new_trainset(self, gui_app, tmp_path, rng):
+        win, store, eid, tid = _window(gui_app, tmp_path, rng,
+                                       with_data=False)
+        win.browse_button.click()
+        labels = [win.dataset_combo.itemText(i)
+                  for i in range(win.dataset_combo.count())]
+        assert f"{eid}: experiment" in labels
+        assert f"{tid}: trainset64" in labels
+        # selecting a dataset syncs the id spin boxes
+        win.dataset_combo.setCurrentIndex(labels.index(f"{eid}: experiment"))
+        assert win.dataset_box.value() == eid
+
+        win.new_trainset_edit.setText("trainset128")
+        win.add_trainset_button.click()
+        new_id = win.trainset_box.value()
+        assert store.dataset_name(new_id) == "trainset128"
+
+    def test_split_override_and_settings(self, gui_app, tmp_path, rng):
+        win, store, eid, tid = _window(gui_app, tmp_path, rng)
+        win.crop_size_box._items = ["64"]
+        win.crop_size_box._idx = 0
+        # 'Add to: test' overrides the 4/2/2 cycle (reference gui:283-288)
+        win.split_combo.setCurrentIndex(3)
+        win.buttons["Create crops"].click()
+        fake_qt.QShortcut.trigger("1")
+        assert "Crop accepted -> test" in win.log.toPlainText()
+        # settings widgets expose the reference's training knobs
+        assert win.optimizer_combo.currentText() == "ranger"
+        assert win.method_combo.currentText() == "distance"
+        assert win.batch_size_box.value() == 4
+        assert win.device_label.text().startswith("Device:")
+
     def test_stop_shortcut(self, gui_app, tmp_path, rng):
         win, *_ = _window(gui_app, tmp_path, rng, with_data=False)
 
