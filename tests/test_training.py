@@ -204,6 +204,159 @@ class TestAugment:
         assert out.max() - out.min() > 0.4
         assert out.shape == img.shape
 
+    def test_clahe_handles_non_tile_multiple_sizes(self, rng):
+        # skimage pads to a tile multiple; so does the matmul CLAHE
+        img = (0.3 + 0.4 * rng.random((100, 70))).astype(np.float32)
+        out = np.asarray(clahe(jnp.asarray(img)))
+        assert out.shape == (100, 70)
+        assert 0.0 <= out.min() and out.max() <= 1.0
+
+    def test_affine_pure_scale_matches_scipy_bilinear(self, rng):
+        """For axis-aligned maps the 2-pass einsum resample equals direct
+        bilinear map_coordinates exactly (up to bf16 weight quantization)."""
+        from scipy.ndimage import map_coordinates
+
+        from microbeseg_tpu.ops.augment import _affine_resample
+
+        x = rng.random((64, 64, 1)).astype(np.float32)
+        sy, sx = 1.1, 0.9
+        out = np.asarray(_affine_resample(
+            jnp.asarray(x), jnp.float32(0.0), jnp.float32(sy),
+            jnp.float32(sx), 1))[..., 0]
+        yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+        cy = cx = 31.5
+        ref = map_coordinates(x[..., 0], [(yy - cy) / sy + cy,
+                                          (xx - cx) / sx + cx],
+                              order=1, mode="constant")
+        np.testing.assert_allclose(out, ref, atol=0.01)
+
+    def test_affine_rotation_geometry_and_order0(self, rng):
+        """Rotation: the 2-pass decomposition lands samples at the right
+        coordinates (mean error vs direct bilinear is interpolation-level
+        on smooth images); order-0 at angle 0 is exact."""
+        from scipy.ndimage import map_coordinates
+
+        from microbeseg_tpu.ops.augment import _affine_resample
+
+        yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+        smooth = (np.sin(yy / 6) * np.cos(xx / 7) * 0.5 + 0.5
+                  ).astype(np.float32)[..., None]
+        ang, sy, sx = 0.5, 0.95, 1.1
+        out = np.asarray(_affine_resample(
+            jnp.asarray(smooth), jnp.float32(ang), jnp.float32(sy),
+            jnp.float32(sx), 1))[..., 0]
+        cy = cx = 31.5
+        ca, sa = np.cos(-ang), np.sin(-ang)
+        ry = ca * (yy - cy) - sa * (xx - cx)
+        rx = sa * (yy - cy) + ca * (xx - cx)
+        ref = map_coordinates(smooth[..., 0], [ry / sy + cy, rx / sx + cx],
+                              order=1, mode="constant")
+        assert np.abs(out - ref).mean() < 0.01
+
+        lab = rng.integers(0, 4, (64, 64, 1)).astype(np.float32)
+        out0 = np.asarray(_affine_resample(
+            jnp.asarray(lab), jnp.float32(0.0), jnp.float32(1.07),
+            jnp.float32(0.93), 0))[..., 0]
+        ref0 = map_coordinates(lab[..., 0],
+                               [(yy - cy) / 1.07 + cy, (xx - cx) / 0.93 + cx],
+                               order=0, mode="constant")
+        np.testing.assert_array_equal(out0, ref0)
+
+    def test_bisection_quantiles_match_numpy(self, rng):
+        from microbeseg_tpu.ops.augment import _quantiles
+
+        img = (rng.random((128, 128, 1)) * 65535).astype(np.float32)
+        qs = np.array([0.002, 0.5, 0.998], np.float32)
+        mine = np.asarray(_quantiles(jnp.asarray(img), jnp.asarray(qs)))
+        ref = np.quantile(img, qs)
+        # inverse-CDF of a discrete sample: within one order-statistic gap
+        span = img.max() - img.min()
+        assert np.all(np.abs(mine - ref) < 0.002 * span)
+
+
+class TestTrainStateResume:
+    def test_interrupted_run_resumes_bit_identically(self, tmp_path, rng):
+        """A run interrupted after 2 epochs and resumed from its training
+        snapshot (params + optimizer state + RNG streams + scheduler)
+        produces EXACTLY the same per-epoch losses as an uninterrupted run —
+        mid-training resume the reference lacks (SURVEY §5.4)."""
+        import dataclasses
+
+        from microbeseg_tpu.config import ModelConfig, TrainConfig
+        from microbeseg_tpu.training.data import SplitArrays, TrainingData
+        from microbeseg_tpu.training.trainer import Trainer
+
+        n, size = 8, 16
+        images = rng.integers(0, 65535, (n, size, size, 1)).astype(np.float32)
+        labels = {
+            "border_label": rng.random((n, size, size, 1)).astype(np.float32),
+            "cell_label": rng.random((n, size, size, 1)).astype(np.float32)}
+        split = SplitArrays(images=images, labels=labels,
+                            ids=[str(i) for i in range(n)])
+        data = TrainingData(train=split, val=split, crop_size=size)
+        cfg = TrainConfig(
+            model=ModelConfig(filters=(8, 16), act_fun="relu",
+                              normalization="gn"),
+            optimizer="adam", batch_size=4, run_name="distance_model_01",
+            max_epochs=20, compute_dtype="float32", seed=5,
+            train_state_every=1)
+
+        def losses_of(msgs):
+            return [m.split(":", 1)[1].split("-->")[0].strip()
+                    for m in msgs if "Loss" in m]
+
+        # uninterrupted 4-epoch run
+        full_cfg = dataclasses.replace(cfg, max_epochs=20)
+        t_full = Trainer(full_cfg, tmp_path / "full")
+        msgs_full = []
+        t_full.text_output = msgs_full.append
+        # max_epochs drives the schedules (same both runs); bound the epoch
+        # count via should_stop, which the loop checks at each epoch start
+        t_full.should_stop = lambda: len(losses_of(msgs_full)) >= 4
+        t_full.train(data)
+        full_losses = losses_of(msgs_full)[:4]
+
+        # interrupted after 2 epochs, then resumed
+        t_a = Trainer(cfg, tmp_path / "resumed")
+        msgs_a = []
+        t_a.text_output = msgs_a.append
+        t_a.should_stop = lambda: len(losses_of(msgs_a)) >= 2
+        t_a.train(data)
+
+        t_b = Trainer(cfg, tmp_path / "resumed")
+        msgs_b = []
+        t_b.text_output = msgs_b.append
+        t_b.should_stop = lambda: len(losses_of(msgs_b)) >= 2
+        t_b.train(data, resume=True)
+        assert any("Resume training from epoch 3" in m for m in msgs_b)
+
+        resumed_losses = losses_of(msgs_a)[:2] + losses_of(msgs_b)[:2]
+        assert resumed_losses == full_losses
+
+    def test_resume_without_snapshot_starts_fresh(self, tmp_path, rng):
+        from microbeseg_tpu.config import ModelConfig, TrainConfig
+        from microbeseg_tpu.training.data import SplitArrays, TrainingData
+        from microbeseg_tpu.training.trainer import Trainer
+
+        images = rng.integers(0, 65535, (8, 16, 16, 1)).astype(np.float32)
+        labels = {
+            "border_label": rng.random((8, 16, 16, 1)).astype(np.float32),
+            "cell_label": rng.random((8, 16, 16, 1)).astype(np.float32)}
+        split = SplitArrays(images=images, labels=labels,
+                            ids=[str(i) for i in range(8)])
+        data = TrainingData(train=split, val=split, crop_size=16)
+        cfg = TrainConfig(model=ModelConfig(filters=(8, 16), act_fun="relu",
+                                            normalization="gn"),
+                          optimizer="adam", batch_size=4, max_epochs=20,
+                          run_name="distance_model_01",
+                          compute_dtype="float32")
+        trainer = Trainer(cfg, tmp_path)
+        msgs = []
+        trainer.text_output = msgs.append
+        trainer.should_stop = lambda: any("Loss" in m for m in msgs)
+        trainer.train(data, resume=True)
+        assert any("No training snapshot found" in m for m in msgs)
+
 
 class TestBatchNormRecalibration:
     def test_recalibration_aligns_eval_with_train_mode(self, tmp_path, rng):
