@@ -186,6 +186,9 @@ class MicrobeSegMainWindow(QMainWindow):
         # pre-labeling + crop split override (reference gui:274-288)
         self.prelabel_checkbox = QCheckBox("Pre-labeling")
         layout.addWidget(self.prelabel_checkbox, set_row + 1, 6)
+        # overwrite existing inference results (reference inference menu)
+        self.overwrite_checkbox = QCheckBox("Overwrite")
+        layout.addWidget(self.overwrite_checkbox, set_row, 6)
         layout.addWidget(QLabel("Add to:"), set_row + 1, 5)
         self.split_combo = QComboBox()
         self.split_combo.addItems(["auto", "train", "val", "test"])
@@ -539,6 +542,7 @@ class MicrobeSegMainWindow(QMainWindow):
         def job(text_output, progress, should_stop):
             return infer_dataset(self.store, ids, engine,
                                  model_name=ckpt.stem,
+                                 overwrite=self.overwrite_checkbox.isChecked(),
                                  result_dir=self.inference_results_path,
                                  channel=int(self.channel_box.value()),
                                  text_output=text_output, progress=progress,
