@@ -46,7 +46,7 @@ import numpy as np
 
 REFERENCE_CROPS_PER_SEC_EST = 20.0
 SIZE = 256
-BATCH = 8
+BATCH = 16  # the engine's default device batch (InferConfig.batch_size)
 
 
 def _random_variables(model, images):

@@ -126,7 +126,9 @@ class InferConfig:
     th_seed: float = 0.45
     apply_clahe: bool = False
     scale_factor: float = 1.0
-    batch_size: int = 8               # frames batched on device (reference: hard-coded 1)
+    # frames batched on device (reference: hard-coded 1).  16 measured best
+    # per-crop on v5e: fwd 1.24 ms/crop vs 1.44 at batch 8, 1.28 at 32.
+    batch_size: int = 16
     # Sliding-window tiling (first-class here; "not implemented yet" in reference).
     use_tiling: bool = False
     tile_size: int = 512

@@ -169,7 +169,8 @@ def relabel_sequential(labels: jnp.ndarray, max_labels: int = 256,
     return out.reshape(labels.shape)
 
 
-def num_labels(labels: jnp.ndarray, max_labels: int = 256) -> jnp.ndarray:
+def num_labels(labels: jnp.ndarray) -> jnp.ndarray:
+    """Count distinct positive ids (bounded by the relabel id convention)."""
     labels = labels.astype(jnp.int32)
     bound = max(labels.size, 65535)  # same id-bound convention as relabel
     flat = labels.reshape(-1)

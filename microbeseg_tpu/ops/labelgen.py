@@ -130,25 +130,59 @@ def j4_label(label: jnp.ndarray, k_neighbors: int = 2,
     return (out - 1).astype(jnp.uint8)
 
 
+def _canny_edges(img: jnp.ndarray) -> jnp.ndarray:
+    """cv2.Canny(img, 1, 1) on device: 3x3 Sobel with replicated borders,
+    L1 gradient magnitude (cv2's L2gradient=False default), sector-quantized
+    non-maximum suppression (tan 22.5/67.5 split like cv2's fixed-point
+    comparison), threshold >= 1.  With low == high == 1 the hysteresis stage
+    is the identity, so this IS the full Canny pipeline for the reference's
+    piecewise-constant label inputs (reference train_data_representations
+    .py:144-146)."""
+    H, W = img.shape
+    x = img.astype(jnp.float32)
+    xp = jnp.pad(x, 1, mode="edge")
+
+    def sh(dy, dx):
+        return xp[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+
+    gx = ((sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1))
+          - (sh(-1, -1) + 2 * sh(0, -1) + sh(1, -1)))
+    gy = ((sh(1, -1) + 2 * sh(1, 0) + sh(1, 1))
+          - (sh(-1, -1) + 2 * sh(-1, 0) + sh(-1, 1)))
+    mag = jnp.abs(gx) + jnp.abs(gy)
+    magp = jnp.pad(mag, 1)
+
+    def nb(dy, dx):
+        return magp[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+
+    ax, ay = jnp.abs(gx), jnp.abs(gy)
+    tg22, tg67 = 0.41421356, 2.41421356
+    horiz = ay <= tg22 * ax
+    vert = ay > tg67 * ax
+    same_sign = (gx * gy) >= 0
+    keep = jnp.where(
+        horiz, (mag > nb(0, -1)) & (mag >= nb(0, 1)),
+        jnp.where(
+            vert, (mag > nb(-1, 0)) & (mag >= nb(1, 0)),
+            jnp.where(same_sign,
+                      (mag > nb(-1, -1)) & (mag >= nb(1, 1)),
+                      (mag > nb(-1, 1)) & (mag >= nb(1, -1)))))
+    return (mag >= 1.0) & keep
+
+
 @jax.jit
 def adapted_border_label(label: jnp.ndarray) -> jnp.ndarray:
-    """Adapted-border label (reference :129-155).  Deviation: the reference
-    uses cv2.Canny(thresholds=(1,1)) on the label image as an edge detector;
-    here edges are label-transition pixels (4-neighbor differs), which is the
-    semantic content Canny extracts from a piecewise-constant label image.
-    Approximate parity only — this legacy method is not used by the default
-    distance pipeline."""
+    """Adapted-border label (reference :129-155): Canny edges of the
+    instance partition XOR Canny edges of the binary foreground leave only
+    the touching borders; dilate/close those, erode the cells, combine.
+    Edge detection is the on-device Canny above (the reference calls
+    cv2.Canny with thresholds (1,1)); this legacy method is not used by the
+    default distance pipeline."""
     label = label.astype(jnp.int32)
     label_bin = label > 0
     se = np.ones((3, 3), dtype=bool)
-    # edges of the instance partition vs edges of the binary foreground
-    mn, mx = _neighbor_minmax_pos(label, generate_binary_structure(2, 1))
-    edge_all = (mx > 0) & ((mx != label) | ((mn != label) & (mn < _BIG_I)))
-    mnb, mxb = _neighbor_minmax_pos(label_bin.astype(jnp.int32),
-                                    generate_binary_structure(2, 1))
-    edge_bin = (mxb > 0) & ((mxb != label_bin.astype(jnp.int32)) |
-                            ((mnb != label_bin.astype(jnp.int32)) & (mnb < _BIG_I)))
-    border = edge_all ^ edge_bin
+    boundary = _canny_edges(label)
+    border = boundary ^ _canny_edges(label_bin.astype(jnp.int32))
     border_adapted = binary_dilation(border, se)
     cell_adapted = binary_erosion(label_bin, se)
     border_adapted = binary_closing(border_adapted, se)

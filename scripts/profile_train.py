@@ -112,7 +112,7 @@ def main(stages):
             return jax.vmap(lambda im, s: gaussian_blur_dynamic(im, s))(x, sig)
         results["aug:blur"] = slope_ms(chain(blur), (raw,), n=20)
 
-    if "fwd_bwd" in stages or "ranger" in stages or "train" in stages:
+    if any(s in stages for s in ("fwd_train", "fwd_bwd", "ranger", "train")):
         import optax
         from microbeseg_tpu.config import ModelConfig, TrainConfig
         from microbeseg_tpu.models.unet import build_unet
@@ -144,6 +144,18 @@ def main(stages):
             else:
                 preds = model.apply(var, img, train=True)
             return jnp.mean(per_sample(preds, labels))
+
+        if "fwd_train" in stages:
+            @jax.jit
+            def ft_chain(params, x, s, n):
+                def body(_, carry):
+                    x, acc = carry
+                    loss = losses(params, x)
+                    return x + s * loss * 1e-9, acc + loss
+                _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
+                return acc
+            results["fwd_train"] = slope_ms(
+                lambda p, s, n: ft_chain(p, raw, s, n), (params,), n=5)
 
         if "fwd_bwd" in stages:
             @jax.jit

@@ -103,6 +103,51 @@ class TestOtherLabels:
         out = np.asarray(labelgen.adapted_border_label(mask.astype(np.int32)))
         assert set(np.unique(out)) <= {0, 1, 2}
 
+    def test_canny_edges_thin_and_located(self):
+        """The on-device Canny (reference uses cv2.Canny(label, 1, 1))
+        produces NMS-thinned edges at label transitions."""
+        import jax.numpy as jnp
+
+        m = np.zeros((32, 32), np.int32)
+        m[8:24, 8:24] = 1
+        edges = np.asarray(labelgen._canny_edges(jnp.asarray(m)))
+        ys, xs = np.nonzero(edges)
+        # all edge pixels within 1 px of the square's boundary band
+        assert len(ys) > 0
+        inner = (ys >= 7) & (ys <= 24) & (xs >= 7) & (xs <= 24)
+        assert inner.all()
+        # NMS-thinned: roughly one pixel per boundary position, not a
+        # two-pixel-wide transition band (perimeter of 16x16 square = 60)
+        assert len(ys) <= 72
+
+    def test_adapted_border_marks_touching_interface_only(self):
+        """boundary XOR border leaves only the touching interface (reference
+        :144-148): an isolated object yields no border class at all."""
+        solo = np.zeros((24, 24), np.int32)
+        solo[6:18, 6:18] = 1
+        out = np.asarray(labelgen.adapted_border_label(solo))
+        assert 2 not in np.unique(out)
+
+        pair = touching_pair()
+        out = np.asarray(labelgen.adapted_border_label(pair.astype(np.int32)))
+        border_ys, border_xs = np.nonzero(out == 2)
+        assert len(border_ys) > 0
+        # Canny-XOR marks the crease where two DIFFERENT ids come close
+        # (cv2's Sobel support reaches 1 px past each object); every
+        # border-class pixel must lie near such a multi-id neighborhood
+        from scipy import ndimage
+        ids = pair.astype(np.int64)
+        multi = np.zeros_like(pair, bool)
+        uniq = [i for i in np.unique(ids) if i > 0]
+        grown = {i: ndimage.binary_dilation(ids == i, iterations=2)
+                 for i in uniq}
+        for a in uniq:
+            for b in uniq:
+                if a < b:
+                    multi |= grown[a] & grown[b]
+        near = ndimage.binary_dilation(multi, iterations=2)
+        assert near[border_ys, border_xs].all()
+
     def test_dispatch_unknown(self):
         with pytest.raises(ValueError):
             labelgen.get_label(np.zeros((8, 8)), "nope")
