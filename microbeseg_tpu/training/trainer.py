@@ -247,7 +247,10 @@ class Trainer:
                 break
 
             # --- train phase ---
-            running = 0.0
+            # loss sums accumulate as device arrays; ONE host fetch per
+            # epoch (a per-step float() would sync the ~25 ms dispatch
+            # pipeline on every step)
+            running = []
             for idx, w in epoch_batches(len(data.train), cfg.batch_size,
                                         np_rng, shuffle=True,
                                         step_size=step_bs):
@@ -256,8 +259,8 @@ class Trainer:
                 labels = {k2: v[idx] for k2, v in data.train.labels.items()}
                 params, batch_stats, opt_state, loss_sum = train_step(
                     params, batch_stats, opt_state, images, labels, w, k)
-                running += float(loss_sum)
-            train_loss = running / len(data.train)
+                running.append(loss_sum)
+            train_loss = float(jnp.sum(jnp.stack(running))) / len(data.train)
             train_hist.append(train_loss)
 
             if stat_step is not None:
@@ -265,15 +268,15 @@ class Trainer:
                     stat_step, params, train_imgs, step_bs)
 
             # --- val phase ---
-            running = 0.0
+            running = []
             for idx, w in epoch_batches(len(data.val), cfg.batch_size,
                                         np_rng, shuffle=False,
                                         step_size=step_bs):
                 images = val_imgs[idx]
                 labels = {k2: v[idx] for k2, v in data.val.labels.items()}
-                running += float(eval_step(params, batch_stats, images,
-                                           labels, w))
-            val_loss = running / len(data.val)
+                running.append(eval_step(params, batch_stats, images,
+                                         labels, w))
+            val_loss = float(jnp.sum(jnp.stack(running))) / len(data.val)
             val_hist.append(val_loss)
 
             if val_loss < best_loss:
