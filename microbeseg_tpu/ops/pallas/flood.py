@@ -134,7 +134,16 @@ def flood_pallas(value: jnp.ndarray, markers: jnp.ndarray,
     squeeze = value.ndim == 2
     if squeeze:
         value, markers, mask = value[None], markers[None], mask[None]
-    B, H, W = value.shape
+    B, H0, W0 = value.shape
+    # Mosaic lowers rolls/slices on (8, 128)-tiled shapes; pad odd sizes to
+    # the tile grid (padding is outside the mask, so the flood ignores it)
+    H = -(-H0 // 8) * 8
+    W = -(-W0 // 128) * 128
+    if (H, W) != (H0, W0):
+        pads = ((0, 0), (0, H - H0), (0, W - W0))
+        value = jnp.pad(value, pads)
+        markers = jnp.pad(markers, pads)
+        mask = jnp.pad(mask, pads)
     kernel = partial(_flood_kernel, n_levels, inner_steps, max_final_iters)
     # one image per grid step, whole image as the VMEM block
     img_spec = pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
@@ -153,6 +162,7 @@ def flood_pallas(value: jnp.ndarray, markers: jnp.ndarray,
         interpret=interpret,
     )(value.astype(jnp.float32), markers.astype(jnp.int32),
       mask.astype(jnp.int32))
+    out = out[:, :H0, :W0]
     return out[0] if squeeze else out
 
 
