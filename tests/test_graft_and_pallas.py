@@ -29,6 +29,32 @@ class TestPallasFlood:
                                        interpret=True))
         np.testing.assert_array_equal(ours, ref)
 
+    def test_non_tile_multiple_sizes_are_padded(self, rng):
+        """Mosaic only lowers (8,128)-tile-multiple shapes; odd sizes must
+        pad to the tile grid and crop back (a 400x400 frame aborted
+        compilation before this)."""
+        import jax.numpy as jnp
+        from microbeseg_tpu.ops.pallas.flood import flood_pallas
+        from microbeseg_tpu.ops.watershed import watershed
+
+        H, W = 30, 46
+        yy, xx = np.mgrid[0:H, 0:W]
+        cell = np.maximum(
+            np.clip(1 - np.sqrt((yy - 12) ** 2 + (xx - 12) ** 2) / 7, 0, 1),
+            np.clip(1 - np.sqrt((yy - 16) ** 2 + (xx - 32) ** 2) / 7, 0, 1),
+        ).astype(np.float32)
+        mask = cell > 0.1
+        from scipy import ndimage
+        seeds, _ = ndimage.label(cell > 0.6, structure=np.ones((3, 3)))
+        ref = np.asarray(watershed(-cell, seeds.astype(np.int32), mask,
+                                   n_levels=8, inner_steps=1,
+                                   max_final_iters=32))
+        ours = np.asarray(flood_pallas(-cell, seeds.astype(np.int32), mask,
+                                       n_levels=8, inner_steps=1,
+                                       max_final_iters=32, interpret=True))
+        assert ours.shape == (H, W)
+        np.testing.assert_array_equal(ours, ref)
+
     def test_fallback_for_large_images(self):
         from microbeseg_tpu.ops.pallas import flood
         assert flood.MAX_VMEM_SIDE < 8192  # big frames must fall back
