@@ -128,6 +128,23 @@ class Trainer:
         return train_step, eval_step
 
     # ------------------------------------------------------------------
+    # device residency
+    # ------------------------------------------------------------------
+
+    _DEVICE_CACHE_MAX_BYTES = 4 << 30  # huge trainsets stay host-resident
+
+    def _device_cache(self, split):
+        """(images, labels) as device arrays when the split fits comfortably
+        in HBM — batch selection becomes an on-device row gather instead of
+        a per-step host->device transfer; numpy passthrough otherwise."""
+        nbytes = split.images.nbytes + sum(
+            v.nbytes for v in split.labels.values())
+        if nbytes > self._DEVICE_CACHE_MAX_BYTES:
+            return split.images, split.labels
+        return (jnp.asarray(split.images),
+                {k: jnp.asarray(v) for k, v in split.labels.items()})
+
+    # ------------------------------------------------------------------
     # the reference train() protocol (train.py:316-576)
     # ------------------------------------------------------------------
 
@@ -228,8 +245,11 @@ class Trainer:
         since = time.time()
         epoch = start_epoch - 1
 
-        train_imgs = data.train.images
-        val_imgs = data.val.images
+        # Keep the whole trainset device-resident when it fits (batches are
+        # then an on-device row gather instead of a per-step host->device
+        # transfer over the slow link); numpy fallback for huge sets.
+        train_imgs, train_labels = self._device_cache(data.train)
+        val_imgs, val_labels = self._device_cache(data.val)
 
         # The per-step batch must be divisible by the mesh size; ragged /
         # rounded-up slots carry weight 0, so the weighted loss stays exact.
@@ -256,7 +276,7 @@ class Trainer:
                                         step_size=step_bs):
                 step_key, k = jax.random.split(step_key)
                 images = train_imgs[idx]
-                labels = {k2: v[idx] for k2, v in data.train.labels.items()}
+                labels = {k2: v[idx] for k2, v in train_labels.items()}
                 params, batch_stats, opt_state, loss_sum = train_step(
                     params, batch_stats, opt_state, images, labels, w, k)
                 running.append(loss_sum)
@@ -273,7 +293,7 @@ class Trainer:
                                         np_rng, shuffle=False,
                                         step_size=step_bs):
                 images = val_imgs[idx]
-                labels = {k2: v[idx] for k2, v in data.val.labels.items()}
+                labels = {k2: v[idx] for k2, v in val_labels.items()}
                 running.append(eval_step(params, batch_stats, images,
                                          labels, w))
             val_loss = float(jnp.sum(jnp.stack(running))) / len(data.val)

@@ -172,6 +172,22 @@ def main(stages):
             results["fwd_bwd"] = slope_ms(
                 lambda p, s, n: fb_chain(p, raw, s, n), (params,), n=5)
 
+        if "fwd_bwd_remat" in stages:
+            relosses = jax.checkpoint(losses)
+
+            @jax.jit
+            def fbr_chain(params, x, s, n):
+                def body(_, carry):
+                    x, acc = carry
+                    loss, grads = jax.value_and_grad(relosses)(params, x)
+                    gsum = sum(g.mean() for g in
+                               jax.tree_util.tree_leaves(grads))
+                    return x + s * (loss + gsum) * 1e-9, acc + loss + gsum
+                _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0)))
+                return acc
+            results["fwd_bwd_remat"] = slope_ms(
+                lambda p, s, n: fbr_chain(p, raw, s, n), (params,), n=5)
+
         if "ranger" in stages:
             @jax.jit
             def opt_chain(params, opt_state, s, n):
