@@ -69,17 +69,24 @@ def main(argv=None) -> int:
 
     # Expand project -> datasets -> images (reference infer_script.py:79-108)
     image_ids = list(args.files)
+    probe_ids = list(args.files)  # group probes: explicit files +
     dataset_ids = [] if args.dataset is None else [args.dataset]
     for pid in args.project:
         dataset_ids.extend(store.list_datasets(pid))
     for did in dataset_ids:
-        image_ids.extend(ref.image_id for ref in store.list_images(did))
+        expanded = [ref.image_id for ref in store.list_images(did)]
+        image_ids.extend(expanded)
+        if expanded:
+            probe_ids.append(expanded[0])  # one per dataset (images of a
+            #                                dataset share its group)
     if not image_ids:
         print("No files found")
         return 0
 
-    # Group-consistency check (reference infer_script.py:106-108)
-    groups = {store.image_group(iid) for iid in image_ids}
+    # Group-consistency check (reference infer_script.py:106-108 probes
+    # every image; one probe per container is equivalent and avoids a
+    # server round-trip per image)
+    groups = {store.image_group(iid) for iid in probe_ids}
     if len(groups) > 1:
         raise ValueError(
             "Select only projects, datasets, and files from the same group!")

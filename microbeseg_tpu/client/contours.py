@@ -163,16 +163,14 @@ def mask_to_polygons(labels: np.ndarray,
             if len(contour_yx) == 0:
                 continue
             outer_xy = contour_yx[:, ::-1].copy()       # (x, y)
-            holes_yx = trace_holes(frag)
-            if holes_yx:
-                # reference semantics: keep the covering outer shape
-                covered = [h for h in holes_yx
+            contours.append(outer_xy)
+            if include_holes:
+                # reference semantics keep only the covering outer shape in
+                # the ROI; holes are traced on request (the default path
+                # skips the background labeling + covers tests entirely)
+                covered = [h for h in trace_holes(frag)
                            if polygon_covers(outer_xy, h[:, ::-1])]
-                contours.append(outer_xy)
-                if include_holes:
-                    contours.extend(h[:, ::-1].copy() for h in covered)
-            else:
-                contours.append(outer_xy)
+                contours.extend(h[:, ::-1].copy() for h in covered)
         if contours:
             out[int(inst_id)] = contours
     return out

@@ -492,13 +492,17 @@ class OmeroStore(ImageStore):
                 if ann.canEdit():
                     stale.append(ann.getId())
         merged.update({str(k): str(v) for k, v in kv.items()})
-        if stale:
-            self._conn.deleteObjects("Annotation", stale, wait=True)
+        # save-and-link the merged annotation BEFORE deleting the stale
+        # ones: if the connection drops mid-call, the reconnect retry then
+        # re-reads a state that still contains every key (delete-first would
+        # lose all pre-existing metadata on retry)
         ann = wrapper(self._conn)
         ann.setNs(self._omero.constants.metadata.NSCLIENTMAPANNOTATION)
         ann.setValue([[k, v] for k, v in merged.items()])
         ann.save()
         img.linkAnnotation(ann)
+        if stale:
+            self._conn.deleteObjects("Annotation", stale, wait=True)
 
     # -- polygon ROIs ---------------------------------------------------------
     @_with_reconnect

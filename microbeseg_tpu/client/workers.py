@@ -383,6 +383,7 @@ class CropGenerator:
         self.store.set_map_annotation(iid, {
             "set": subset, "source_image": crop.image_id,
             "frame": crop.frame, "crop_y": crop.y, "crop_x": crop.x,
+            "crop_size": self.crop_size, "channel": self.channel,
             "pre_labeled": str(bool(crop.rois)),
             "last_modification": "", "upload_date": timestamp(), **stats})
         if crop.rois:

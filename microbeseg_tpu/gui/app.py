@@ -243,15 +243,17 @@ class MicrobeSegMainWindow(QMainWindow):
             layout.addWidget(btn, row + i // 4, i % 4)
 
         # crop review pane
+        # the 10 workflow buttons occupy rows 1-3 (4 per row, cols 0-3);
+        # the preview/log panes start below them at row 4
         self.crop_label = QLabel("crop preview")
         self.crop_label.setMinimumSize(320, 320)
         self.crop_label.setAlignment(Qt.AlignCenter)
-        layout.addWidget(self.crop_label, 3, 0, 3, 4)
+        layout.addWidget(self.crop_label, 4, 0, 2, 4)
 
         # log + progress
         self.log = QTextEdit()
         self.log.setReadOnly(True)
-        layout.addWidget(self.log, 3, 4, 2, 2)
+        layout.addWidget(self.log, 4, 4, 1, 2)
         self.progress_bar = QProgressBar()
         layout.addWidget(self.progress_bar, 5, 4, 1, 2)
 
@@ -295,7 +297,15 @@ class MicrobeSegMainWindow(QMainWindow):
         except Exception as exc:
             QMessageBox.information(self, "Connection failed", str(exc))
             return
-        self._local_store = self.store
+        if getattr(self, "_local_store", None) is not None:
+            # already connected: close the old gateway, keep the ORIGINAL
+            # local store as the disconnect fallback
+            try:
+                self.store.close()
+            except Exception:
+                pass
+        else:
+            self._local_store = self.store
         self.store = store
         self.log.append(f"Connected to {host}.")
 
@@ -480,10 +490,11 @@ class MicrobeSegMainWindow(QMainWindow):
 
     def on_export(self):
         from microbeseg_tpu.client.workers import export_trainset
+        # trainset crops are stored single-channel (the channel selection
+        # happened at crop creation), so export always reads channel 0
         self._run_worker(export_trainset, self.store,
                          int(self.trainset_box.value()),
-                         self.training_data_path,
-                         channel=int(self.channel_box.value()))
+                         self.training_data_path)
 
     def on_train(self):
         from microbeseg_tpu.training.workers import create_labels, run_training
@@ -571,6 +582,7 @@ class MicrobeSegMainWindow(QMainWindow):
         def job(text_output, progress, should_stop):
             return export_results(self.store, ids,
                                   self.inference_results_path,
+                                  channel=int(self.channel_box.value()),
                                   text_output=text_output, progress=progress)
 
         self._run_worker(job)

@@ -154,7 +154,7 @@ class InferenceEngine:
         fwd = self._forward_fn(pad_y, pad_x)
 
         outs = []
-        bs = self.cfg.batch_size
+        bs = self._device_batch(th, tw)
         n_pad = (-T) % bs
         padded = np.concatenate(
             [padded, np.zeros((n_pad, th, tw), np.float32)]) if n_pad else padded
@@ -177,6 +177,17 @@ class InferenceEngine:
         probs = np.concatenate(outs)[:T]
         return (probs,)
 
+
+    def _device_batch(self, h: int, w: int) -> int:
+        """Frames/tiles per device call, scaled by area so the activation
+        footprint stays ~constant: cfg.batch_size applies at 256^2 (the
+        calibration size; 16 measured optimal on v5e) and larger buckets
+        batch proportionally fewer frames — the batch-16 default must not
+        OOM a 1024^2 bucket that batch-4 would handle."""
+        area = max(h * w, 1)
+        return max(1, min(self.cfg.batch_size,
+                          (self.cfg.batch_size * 256 * 256) // area))
+
     def _predict_tiled(self, norm_frames: np.ndarray) -> Tuple[np.ndarray, ...]:
         """Sliding-window path for images beyond the pad-bucket table.
 
@@ -188,7 +199,7 @@ class InferenceEngine:
             raise ValueError(
                 f"image {H}x{W} smaller than tile {tile}; shrink tile_size")
         fwd = self._forward_fn(0, 0)
-        bs = self.cfg.batch_size
+        bs = self._device_batch(tile, tile)
 
         # collect tiles across ALL frames so the device sees full batches
         # regardless of per-frame tile counts (the spatial tiles ride the
@@ -248,7 +259,7 @@ class InferenceEngine:
         preds = self.predict_raw(frames)
         T = frames.shape[0]
         masks = np.empty(frames.shape, np.uint16)
-        bs = self.cfg.batch_size
+        bs = self._device_batch(frames.shape[1], frames.shape[2])
         post = self._post_fn()
         if self.label_type == "distance":
             border, cell = preds

@@ -496,6 +496,7 @@ class Trainer:
             if not self.stopped:
                 self.recalibrate_batch_stats(data)
                 write_sidecar(cfg, self.path_models, extra=extra)
+                self._drop_train_state()
             return best
 
         best = self.train(data, print_output=print_output, resume=resume)
@@ -511,4 +512,16 @@ class Trainer:
             # eval-mode inference sees calibrated statistics
             self.recalibrate_batch_stats(data)
             write_sidecar(cfg, self.path_models, extra=extra)
+            # a finished run needs no resumable snapshot — leaving it would
+            # make a later --resume latch onto this completed run and
+            # overwrite its checkpoint
+            self._drop_train_state()
         return best
+
+    def _drop_train_state(self) -> None:
+        stem = self.path_models / f"{self.cfg.run_name}_state"
+        for suffix in (".train_state", ".train_state.json"):
+            try:
+                stem.with_suffix(suffix).unlink()
+            except FileNotFoundError:
+                pass

@@ -175,6 +175,27 @@ class TestGuiSmoke:
         assert win.store.root == local_store.root
         assert "Disconnected" in win.log.toPlainText()
 
+    def test_double_connect_keeps_local_fallback(self, gui_app, tmp_path,
+                                                 rng):
+        """Connecting twice (e.g. switching hosts) must close the first
+        gateway and keep the ORIGINAL LocalStore as the disconnect target."""
+        from tests import fake_omero
+
+        win, local_store, *_ = _window(gui_app, tmp_path, rng,
+                                       with_data=False)
+        fake_omero.install()
+        win.host_edit.setText("fake.host")
+        win.username_edit.setText("user")
+        win.password_edit.setText("pw")
+        win.connect_button.click()
+        first = win.store
+        win.host_edit.setText("fake.host")  # "another" host
+        win.connect_button.click()
+        assert win.store is not first
+        assert win._local_store.root == local_store.root  # not the gateway
+        win.disconnect_button.click()
+        assert win.store.root == local_store.root
+
     def test_browse_datasets_and_new_trainset(self, gui_app, tmp_path, rng):
         win, store, eid, tid = _window(gui_app, tmp_path, rng,
                                        with_data=False)

@@ -333,6 +333,42 @@ class TestTrainStateResume:
         resumed_losses = losses_of(msgs_a)[:2] + losses_of(msgs_b)[:2]
         assert resumed_losses == full_losses
 
+    def test_snapshot_deleted_after_completed_fit(self, tmp_path, rng):
+        """A finished run drops its resumable snapshot so a later --resume
+        cannot latch onto the completed run and overwrite its checkpoint."""
+        from microbeseg_tpu.config import ModelConfig, TrainConfig
+        from microbeseg_tpu.training.data import SplitArrays, TrainingData
+        from microbeseg_tpu.training.trainer import Trainer
+
+        images = rng.integers(0, 65535, (8, 16, 16, 1)).astype(np.float32)
+        labels = {
+            "border_label": rng.random((8, 16, 16, 1)).astype(np.float32),
+            "cell_label": rng.random((8, 16, 16, 1)).astype(np.float32)}
+        split = SplitArrays(images=images, labels=labels,
+                            ids=[str(i) for i in range(8)])
+        data = TrainingData(train=split, val=split, crop_size=16)
+        cfg = TrainConfig(model=ModelConfig(filters=(8, 16), act_fun="relu",
+                                            normalization="gn"),
+                          optimizer="adam", batch_size=4, max_epochs=20,
+                          run_name="distance_model_01",
+                          compute_dtype="float32", train_state_every=1)
+        trainer = Trainer(cfg, tmp_path)
+        msgs = []
+        trainer.text_output = msgs.append
+        trainer.should_stop = lambda: sum("Loss" in m for m in msgs) >= 2
+        trainer.fit(data)
+        # should_stop fires mid-run -> stopped -> snapshot kept
+        state = tmp_path / "distance_model_01_state.train_state"
+        assert state.is_file()
+
+        trainer2 = Trainer(cfg, tmp_path)
+        trainer2.text_output = lambda m: None
+        # let it run to the break condition quickly by resuming and
+        # stopping never; max_epochs=20 with adam break 2*20//20+5=7
+        trainer2.fit(data, resume=True)
+        assert not state.is_file()
+        assert not state.with_suffix(".train_state.json").is_file()
+
     def test_resume_without_snapshot_starts_fresh(self, tmp_path, rng):
         from microbeseg_tpu.config import ModelConfig, TrainConfig
         from microbeseg_tpu.training.data import SplitArrays, TrainingData
