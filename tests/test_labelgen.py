@@ -98,6 +98,40 @@ class TestOtherLabels:
         out = np.asarray(labelgen.j4_label(mask.astype(np.int32)))
         assert set(np.unique(out)) <= {0, 1, 2, 3}
 
+    def test_j4_matches_reference_oracle(self, rng):
+        """Literal numpy re-implementation of the reference algorithm
+        (train_data_representations.py:158-217: bottom-hat closing + the
+        O(HW) set-based neighbor-instance count)."""
+        from itertools import product
+
+        from scipy import ndimage
+
+        from tests.oracles import _disk
+
+        k_neighbors, se_radius = 2, 4
+        label = touching_pair().astype(np.int32)[::2, ::2]  # 32x32
+
+        label_bin = label > 0
+        bottom_hat = ndimage.binary_closing(
+            label_bin, _disk(se_radius)) ^ label_bin
+        padded = np.pad(label, k_neighbors)
+        n_neighbors = np.zeros_like(label)
+        for iy, ix in product(range(label.shape[0]), range(label.shape[1])):
+            crop = padded[iy:iy + 2 * k_neighbors + 1,
+                          ix:ix + 2 * k_neighbors + 1]
+            n_neighbors[iy, ix] = len(set(crop[crop > 0]))
+        bg = (~label_bin) & (~bottom_hat)
+        gap = (~label_bin) & bottom_hat
+        touching = label_bin & (n_neighbors > 1)
+        cell = ~(bg | gap | touching)
+        ref = np.maximum(bg.astype(np.int32), 2 * cell)
+        ref = np.maximum(ref, 3 * touching)
+        ref = np.maximum(ref, 4 * gap) - 1
+
+        ours = np.asarray(labelgen.j4_label(label, k_neighbors=k_neighbors,
+                                            se_radius=se_radius))
+        np.testing.assert_array_equal(ours, ref.astype(np.uint8))
+
     def test_adapted_border_runs(self):
         mask = touching_pair()
         out = np.asarray(labelgen.adapted_border_label(mask.astype(np.int32)))
