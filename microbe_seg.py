@@ -18,7 +18,7 @@ def main() -> int:
               "  python infer_script.py --local_store <store> -m <model>\n"
               "  python eval_script.py -d <trainset> -m <models...>")
         return 1
-    from microbeseg_tpu.gui.app import run_gui  # noqa: F401  (round 2)
+    from microbeseg_tpu.gui.app import run_gui
     return run_gui()
 
 

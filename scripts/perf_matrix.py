@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-CONFIGS = [(128, 32), (256, 16), (320, 8), (512, 4)]  # (size, batch)
+CONFIGS = [(128, 32), (256, 16), (320, 16), (512, 8)]  # (size, batch)
 
 
 def slope_ms(run, args, n, batch, trials=3):
