@@ -29,6 +29,8 @@ import os
 import sys
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 if "--mesh" in sys.argv:
     # the mesh mode runs on a virtual 8-CPU device mesh, not the TPU chip:
     # force the platform BEFORE jax initializes (the ambient axon plugin

@@ -54,6 +54,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=40)
     parser.add_argument("--n_train", type=int, default=24)
+    parser.add_argument("--method", default="distance",
+                        choices=("distance", "boundary"),
+                        help="label/method family (boundary = the 3-class "
+                             "baseline, reference train.py)")
     parser.add_argument("--normalization", default="gn",
                         choices=("bn", "gn", "in"),
                         help="'bn' is the reference default "
@@ -78,17 +82,24 @@ def main():
             imwrite(data_dir / split / f"mask_{split}{i:02d}.tif", mask)
     print("trainset written", flush=True)
 
-    # 2. distance labels
+    # 2. labels
     t0 = time.time()
-    assert create_labels(data_dir, "distance", text_output=print)
+    assert create_labels(data_dir, args.method, text_output=print)
     print(f"labels done in {time.time() - t0:.1f}s", flush=True)
 
     # 3. train
-    cfg = TrainConfig(model=ModelConfig(filters=(16, 128), act_fun="mish",
-                                        normalization=args.normalization),
+    run_name = f"{args.method}_model_01"
+    cfg = TrainConfig(model=ModelConfig(
+                          unet_type="DU" if args.method == "distance" else "U",
+                          ch_out=1 if args.method == "distance" else 3,
+                          filters=(16, 128), act_fun="mish",
+                          normalization=args.normalization),
+                      label_type=args.method,
+                      loss="smooth_l1" if args.method == "distance"
+                           else "ce_dice",
                       optimizer="ranger", batch_size=8,
-                      run_name="distance_model_01", max_epochs=args.epochs)
-    data = TrainingData.from_directory(data_dir, label_type="distance")
+                      run_name=run_name, max_epochs=args.epochs)
+    data = TrainingData.from_directory(data_dir, label_type=args.method)
     t0 = time.time()
     trainer = Trainer(cfg, models_dir, text_output=print)
     best = trainer.fit(data, print_output=False)
@@ -98,14 +109,14 @@ def main():
     # 4. evaluate (AJI+ threshold grid)
     ev = Evaluator(EvalConfig(), text_output=print)
     df = ev.evaluate(data_dir, out / "evaluation" / "trainset",
-                     [models_dir / "distance_model_01"])
+                     [models_dir / run_name])
     print(df.to_string(index=False), flush=True)
 
     # 5. 2D+t stack inference with tiling
     stack = np.stack([synth_sample(rng, size=400, n_blobs=60)[0]
                       for _ in range(4)])
     engine = InferenceEngine.from_checkpoint(
-        models_dir / "distance_model_01",
+        models_dir / run_name,
         cfg=InferConfig(use_tiling=True, tile_size=256, tile_overlap=64))
     t0 = time.time()
     masks = engine.segment(stack)

@@ -189,6 +189,11 @@ class MicrobeSegMainWindow(QMainWindow):
         # overwrite existing inference results (reference inference menu)
         self.overwrite_checkbox = QCheckBox("Overwrite")
         layout.addWidget(self.overwrite_checkbox, set_row, 6)
+        # evaluation scope (reference eval menu model list with select-all /
+        # per-model selection, gui:1039-1121)
+        self.eval_scope_combo = QComboBox()
+        self.eval_scope_combo.addItems(["all models", "selected model"])
+        layout.addWidget(self.eval_scope_combo, set_row, 7)
         layout.addWidget(QLabel("Add to:"), set_row + 1, 5)
         self.split_combo = QComboBox()
         self.split_combo.addItems(["auto", "train", "val", "test"])
@@ -525,7 +530,11 @@ class MicrobeSegMainWindow(QMainWindow):
         from microbeseg_tpu.evaluation.evaluator import Evaluator
 
         trainset = self.store.dataset_name(int(self.trainset_box.value()))
-        models = sorted((self.model_path / trainset).glob("*.ckpt"))
+        if self.eval_scope_combo.currentText() == "selected model":
+            ckpt = self._selected_model()
+            models = [ckpt] if ckpt is not None else []
+        else:
+            models = sorted((self.model_path / trainset).glob("*.ckpt"))
         if not models:
             self.log.append("No models found.")
             return

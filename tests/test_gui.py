@@ -228,6 +228,35 @@ class TestGuiSmoke:
         assert win.batch_size_box.value() == 4
         assert win.device_label.text().startswith("Device:")
 
+    def test_eval_scope_selected_model(self, gui_app, tmp_path, rng,
+                                       monkeypatch):
+        """'selected model' scope evaluates only the model chosen in the
+        model list (reference eval-menu selection, gui:1039-1121)."""
+        win, *_ = _window(gui_app, tmp_path, rng, with_data=False)
+        models = tmp_path / "models" / "trainset64"
+        models.mkdir(parents=True)
+        (models / "distance_model_01.ckpt").write_bytes(b"x")
+        (models / "distance_model_02.ckpt").write_bytes(b"x")
+        win.refresh_model_list()
+        win.model_box.setCurrentIndex(1)
+        win.eval_scope_combo.setCurrentIndex(1)  # selected model
+
+        seen = []
+
+        from microbeseg_tpu.evaluation import evaluator as ev_mod
+
+        class FakeEvaluator:
+            def __init__(self, **kw):
+                pass
+
+            def evaluate(self, data_dir, results_dir, models):
+                seen.extend(models)
+                return None
+
+        monkeypatch.setattr(ev_mod, "Evaluator", FakeEvaluator)
+        win.buttons["Evaluate"].click()
+        assert [m.name for m in seen] == ["distance_model_02.ckpt"]
+
     def test_stop_shortcut(self, gui_app, tmp_path, rng):
         win, *_ = _window(gui_app, tmp_path, rng, with_data=False)
 
