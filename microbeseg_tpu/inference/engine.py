@@ -262,18 +262,32 @@ class InferenceEngine:
         masks = np.empty(frames.shape, np.uint16)
         bs = self._device_batch(frames.shape[1], frames.shape[2])
         post = self._post_fn()
+
+        def pad_tail(chunk):
+            # keep every call at the full batch shape: one executable
+            # instead of an extra compile for the ragged tail chunk
+            if chunk.shape[0] == bs or T <= bs:
+                return chunk
+            return np.concatenate(
+                [chunk, np.zeros((bs - chunk.shape[0],) + chunk.shape[1:],
+                                 chunk.dtype)])
+
         if self.label_type == "distance":
             border, cell = preds
             ts = jnp.float32(th_seed)
             tc = jnp.float32(th_cell)
             for s in range(0, T, bs):
-                chunk_b = jnp.asarray(border[s:s + bs])
-                chunk_c = jnp.asarray(cell[s:s + bs])
-                masks[s:s + bs] = np.asarray(post(chunk_b, chunk_c, ts, tc))
+                n = min(bs, T - s)
+                chunk_b = jnp.asarray(pad_tail(border[s:s + bs]))
+                chunk_c = jnp.asarray(pad_tail(cell[s:s + bs]))
+                masks[s:s + n] = np.asarray(
+                    post(chunk_b, chunk_c, ts, tc))[:n]
         else:
             (probs,) = preds
             for s in range(0, T, bs):
-                masks[s:s + bs] = np.asarray(post(jnp.asarray(probs[s:s + bs])))
+                n = min(bs, T - s)
+                masks[s:s + n] = np.asarray(
+                    post(jnp.asarray(pad_tail(probs[s:s + bs]))))[:n]
         return masks[0] if squeeze else masks
 
     def _post_fn(self):
