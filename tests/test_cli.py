@@ -60,6 +60,29 @@ class TestInferStoreCLI:
                 "--local_store", str(tmp_path / "st"), "--project", "3",
                 "--model", "m01"])
 
+    def test_group_check_probes_once_per_container(self, tmp_path, rng,
+                                                   patched_engine,
+                                                   monkeypatch):
+        """One group probe per expanded dataset (+ each explicit file), not
+        one server round-trip per image (images of an OMERO dataset share
+        its permission group)."""
+        store_root = tmp_path / "st"
+        store, _, ids = self._seed_store(store_root, rng)
+        calls = []
+        orig = LocalStore.image_group
+
+        def counting(self, iid):
+            calls.append(iid)
+            return orig(self, iid)
+
+        monkeypatch.setattr(LocalStore, "image_group", counting)
+        rc = infer_store.main([
+            "--local_store", str(store_root), "--project", "3",
+            "--model", "m01", "--result_path", str(tmp_path / "out")])
+        assert rc == 0
+        # 2 datasets expanded -> exactly 2 probes regardless of image count
+        assert len(calls) == 2
+
     def test_channel_flag_is_honored(self, tmp_path, rng, patched_engine):
         store = LocalStore(tmp_path / "st")
         did = store.create_dataset("d")
