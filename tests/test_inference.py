@@ -76,6 +76,17 @@ class TestEngine:
             frames[0].max() - frames[0].min())
         np.testing.assert_allclose(cell[0], x01, atol=1e-4)
 
+    def test_device_batch_scales_with_area(self):
+        """cfg.batch_size applies at the 256^2 calibration size; larger
+        buckets batch fewer frames (2x measured headroom) so the default
+        cannot OOM a big bucket; never below 1, never above the config."""
+        eng = self._engine(batch_size=16)
+        assert eng._device_batch(256, 256) == 16
+        assert eng._device_batch(128, 128) == 16   # capped at the config
+        assert eng._device_batch(512, 512) == 8
+        assert eng._device_batch(1024, 1024) == 2
+        assert eng._device_batch(8192, 8192) == 1  # floor
+
     def test_segment_finds_instances(self, rng):
         frames = _frames_from_blobs(rng, n=1)
         masks = self._engine().segment(frames)
