@@ -237,6 +237,7 @@ class MicrobeSegMainWindow(QMainWindow):
             ("Inference", self.on_inference),
             ("Analysis", self.on_analysis),
             ("Export results", self.on_result_export),
+            ("Correct", lambda: self.on_annotate(mode="correct")),
             ("Stop (Ctrl+C)", self.on_stop),
         ]
         self.buttons = {}
@@ -478,9 +479,12 @@ class MicrobeSegMainWindow(QMainWindow):
 
         self._run_worker(job)
 
-    def on_annotate(self):
-        """Open the external annotation tool (reference gui:1993-2004)."""
+    def on_annotate(self, mode: str = "annotate"):
+        """Open the external annotation tool deep-linked to the trainset
+        ('annotate') or the dashboard ('correct'); reference
+        open_annotation_tool, gui:1993-2004."""
         import json
+        import urllib.parse
         import webbrowser
 
         settings_path = Path.cwd() / "settings.json"
@@ -491,6 +495,15 @@ class MicrobeSegMainWindow(QMainWindow):
         if not url:
             self.log.append("No annotation_tool_url in settings.json")
             return
+        if not url.endswith("/"):
+            url += "/"
+        user = self.username_edit.text()
+        if mode == "annotate":
+            url = (f"{url}login?u={user}&p=&r=/omero-dataset;"
+                   f"dataset={int(self.trainset_box.value())}")
+        else:
+            url = (f"{url}login?u={user}&p=&r="
+                   + urllib.parse.quote("omero-dashboard"))
         webbrowser.open(url)
 
     def on_export(self):

@@ -62,7 +62,7 @@ def _window(app, tmp_path, rng, with_data=True):
 class TestGuiSmoke:
     def test_build_ui_and_shortcuts(self, gui_app, tmp_path, rng):
         win, *_ = _window(gui_app, tmp_path, rng, with_data=False)
-        assert len(win.buttons) == 10
+        assert len(win.buttons) == 11  # incl. 'Correct' (annotation tool)
         assert win.statusBar().currentMessage() == "Ready"
         # reference shortcut set: Ctrl+C, 1/2/3, space, s, F1
         seqs = {s.seq for s in fake_qt.QShortcut.registry}
@@ -227,6 +227,27 @@ class TestGuiSmoke:
         assert win.method_combo.currentText() == "distance"
         assert win.batch_size_box.value() == 4
         assert win.device_label.text().startswith("Device:")
+
+    def test_annotation_tool_deep_links(self, gui_app, tmp_path, rng,
+                                        monkeypatch):
+        """Annotate deep-links to the trainset; Correct to the dashboard
+        (reference open_annotation_tool, gui:1993-2004)."""
+        import webbrowser
+
+        win, _, _, tid = _window(gui_app, tmp_path, rng, with_data=False)
+        monkeypatch.chdir(tmp_path)
+        (tmp_path / "settings.json").write_text(
+            '{"annotation_tool_url": "http://tool.local/obiwan"}')
+        win.username_edit.setText("alice")
+        opened = []
+        monkeypatch.setattr(webbrowser, "open", opened.append)
+        win.on_annotate()
+        win.buttons["Correct"].click()
+        assert opened[0] == (
+            f"http://tool.local/obiwan/login?u=alice&p=&r=/omero-dataset;"
+            f"dataset={tid}")
+        assert opened[1].startswith(
+            "http://tool.local/obiwan/login?u=alice&p=&r=omero-dashboard")
 
     def test_eval_scope_selected_model(self, gui_app, tmp_path, rng,
                                        monkeypatch):
