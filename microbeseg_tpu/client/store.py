@@ -18,7 +18,7 @@ import json
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -116,6 +116,15 @@ class ImageStore:
         """Permission-group id of an image; the store-backed inference CLI
         enforces single-group selections (reference infer_script.py:106-108)."""
         raise NotImplementedError
+
+    def list_groups(self) -> List[Tuple[int, str]]:
+        """(group_id, name) pairs the user is a member of (reference
+        'Change group' menu, microbe_seg_gui.py:1309-1352)."""
+        return [(0, "default")]
+
+    def set_group(self, group_id: int) -> None:
+        """Scope subsequent browsing to one permission group (reference
+        gui:1352 sets group_id; OMERO: SERVICE_OPTS.setOmeroGroup)."""
 
     def close(self) -> None:
         pass
@@ -422,6 +431,19 @@ class OmeroStore(ImageStore):
     def image_group(self, image_id: int) -> int:
         # reference infer_script.py:85 (getDetails().group.id.val)
         return int(self._image(image_id).getDetails().group.id.val)
+
+    @_with_reconnect
+    def list_groups(self) -> List[Tuple[int, str]]:
+        # reference 'Change group' menu (microbe_seg_gui.py:1320-1324:
+        # conn.getGroupsMemberOf), sorted by name like the reference
+        groups = [(int(g.getId()), str(g.getName()))
+                  for g in self._conn.getGroupsMemberOf()]
+        return sorted(groups, key=lambda g: g[1].lower())
+
+    def set_group(self, group_id: int) -> None:
+        # scope browsing to one group (reference gui:1352; -1 = all groups)
+        self._group = int(group_id)
+        self._conn.SERVICE_OPTS.setOmeroGroup(str(int(group_id)))
 
     # -- images ------------------------------------------------------------
     @_with_reconnect

@@ -139,6 +139,13 @@ class MicrobeSegMainWindow(QMainWindow):
         self.disconnect_button = QPushButton("Disconnect")
         self.disconnect_button.clicked.connect(self.on_disconnect)
         layout.addWidget(self.disconnect_button, conn_row + 1, 7)
+        # group selection (reference 'Change group', gui:1309-1352)
+        self.group_button = QPushButton("Change group")
+        self.group_button.clicked.connect(self.on_change_group)
+        layout.addWidget(self.group_button, conn_row + 2, 6)
+        self.group_combo = QComboBox()
+        self.group_combo.currentIndexChanged.connect(self.on_group_selected)
+        layout.addWidget(self.group_combo, conn_row + 2, 7)
 
         # project browsing + trainset creation (reference gui:151-207,
         # 1658-1991: Project(s)/Dataset(s) browsing, 'Training set' + Add)
@@ -327,6 +334,34 @@ class MicrobeSegMainWindow(QMainWindow):
         self.store = local
         self._local_store = None
         self.log.append("Disconnected — back on the local store.")
+
+    def on_change_group(self):
+        """List the user's permission groups (reference gui:1309-1352)."""
+        try:
+            groups = self.store.list_groups()
+        except Exception as exc:
+            self.log.append(f"Error: {exc}")
+            return
+        self._groups = groups
+        self.group_combo.clear()
+        self.group_combo.addItems([f"{name} ({gid})" for gid, name in groups])
+        if groups:
+            self.group_combo.setCurrentIndex(0)
+
+    def on_group_selected(self, idx: int):
+        groups = getattr(self, "_groups", [])
+        if 0 <= idx < len(groups):
+            gid, name = groups[idx]
+            try:
+                self.store.set_group(gid)
+            except Exception as exc:
+                self.log.append(f"Error: {exc}")
+                return
+            # group change invalidates the browsing scope (reference
+            # gui:1330-1349 clears all selection lists)
+            self.dataset_combo.clear()
+            self._dataset_ids = []
+            self.log.append(f"Switched to group '{name}' ({gid}).")
 
     def on_browse_datasets(self):
         """Populate the dataset list for the selected project (reference

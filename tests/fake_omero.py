@@ -298,8 +298,15 @@ class FakeBlitzGateway:
 
     def __init__(self, username, password, host=None, port=None, secure=True):
         self._alive = False
+        self.group_set = []  # setOmeroGroup calls, for assertions
         self.SERVICE_OPTS = types.SimpleNamespace(
-            setOmeroGroup=lambda g: None)
+            setOmeroGroup=self.group_set.append)
+
+    def getGroupsMemberOf(self):
+        self._check_alive()
+        return [types.SimpleNamespace(getId=lambda gid=gid: gid,
+                                      getName=lambda n=name: n)
+                for gid, name in self._server.groups]
 
     def connect(self):
         server = self._server
@@ -391,6 +398,7 @@ class FakeServer:
         self.connects = 0
         self.refuse_connect = False
         self.default_group = 0
+        self.groups = [(0, "lab-alpha"), (7, "lab-beta")]
         self.live_gateways = []
 
     def new_id(self):

@@ -228,6 +228,26 @@ class TestGuiSmoke:
         assert win.batch_size_box.value() == 4
         assert win.device_label.text().startswith("Device:")
 
+    def test_change_group(self, gui_app, tmp_path, rng):
+        """Group browsing + selection against the fake gateway (reference
+        'Change group', gui:1309-1352): groups list sorted by name, the
+        selection scopes the gateway via setOmeroGroup and clears the
+        dataset browsing state."""
+        from tests import fake_omero
+
+        win, *_ = _window(gui_app, tmp_path, rng, with_data=False)
+        fake_omero.install()
+        win.host_edit.setText("fake.host")
+        win.username_edit.setText("u")
+        win.connect_button.click()
+        win.group_button.click()
+        labels = [win.group_combo.itemText(i)
+                  for i in range(win.group_combo.count())]
+        assert labels == ["lab-alpha (0)", "lab-beta (7)"]
+        win.group_combo.setCurrentIndex(1)
+        assert "Switched to group 'lab-beta' (7)." in win.log.toPlainText()
+        assert win.store._conn.group_set[-1] == "7"
+
     def test_annotation_tool_deep_links(self, gui_app, tmp_path, rng,
                                         monkeypatch):
         """Annotate deep-links to the trainset; Correct to the dashboard
