@@ -220,15 +220,18 @@ def mesh_main():
 
     assert np.isclose(out[1][0], out[8][0], rtol=1e-5), \
         f"loss diverged: {out[1][0]} vs {out[8][0]}"
+    # atol 1e-5 (same as tests/test_parallel.py, same reason): the
+    # interpolation-matrix augmentation makes shard reduction order visible
+    # at ~1e-6 magnitude, so a tighter atol flakes across mesh sizes
     max_rel = 0.0
     for a, b in zip(jax.tree_util.tree_leaves(out[1][1]),
                     jax.tree_util.tree_leaves(out[8][1])):
-        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
         denom = np.maximum(np.abs(a), 1e-6)
         max_rel = max(max_rel, float(np.max(np.abs(a - b) / denom)))
     for a, b in zip(jax.tree_util.tree_leaves(out[1][2]),
                     jax.tree_util.tree_leaves(out[8][2])):
-        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6)
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
     print(json.dumps({
         "metric": "mesh8-vs-mesh1 train-step equivalence "
                   "(loss+grads+sync-BN stats)",

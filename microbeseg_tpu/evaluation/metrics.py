@@ -153,3 +153,31 @@ def get_fast_dice_2(true: np.ndarray, pred: np.ndarray) -> float:
     if total_markup == 0:
         return 0.0
     return float(2.0 * total_intersect / total_markup)
+
+
+def pair_coordinates(set_a: np.ndarray, set_b: np.ndarray, radius: float
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Optimal unique point pairing under a distance budget (reference
+    src/evaluation/stats_utils.py:398-434; unused by the app, kept for
+    drop-in stats_utils completeness).
+
+    Hungarian assignment on the Euclidean cost matrix between the (N, 2)
+    coordinate sets, then pairs farther apart than ``radius`` are discarded.
+    Returns (pairing (k, 2) of [index_in_a, index_in_b], unpaired_a indices,
+    unpaired_b indices).  Host-side on purpose: eval-only, tiny matrices
+    (SURVEY §2.2 Hungarian row).
+    """
+    set_a = np.asarray(set_a, dtype=np.float64)
+    set_b = np.asarray(set_b, dtype=np.float64)
+    # cdist without scipy.spatial: |a-b|^2 = |a|^2 + |b|^2 - 2 a.b
+    d2 = (np.sum(set_a ** 2, axis=1)[:, None]
+          + np.sum(set_b ** 2, axis=1)[None, :]
+          - 2.0 * set_a @ set_b.T)
+    dist = np.sqrt(np.maximum(d2, 0.0))
+    idx_a, idx_b = linear_sum_assignment(dist)
+    close = dist[idx_a, idx_b] <= radius
+    paired_a, paired_b = idx_a[close], idx_b[close]
+    pairing = np.stack([paired_a, paired_b], axis=-1)
+    unpaired_a = np.delete(np.arange(set_a.shape[0]), paired_a)
+    unpaired_b = np.delete(np.arange(set_b.shape[0]), paired_b)
+    return pairing, unpaired_a, unpaired_b

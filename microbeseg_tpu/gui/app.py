@@ -170,7 +170,10 @@ class MicrobeSegMainWindow(QMainWindow):
 
         # training settings (reference gui:347-370: batch size, iterations,
         # optimizer, method) + device info (reference gui:240-245)
-        set_row = conn_row + 2
+        # one row below the group widgets (conn_row + 2) — sharing that row
+        # stacked Overwrite/eval-scope on top of the group button/combo in
+        # real Qt (ADVICE r2); fake_qt now asserts one widget per grid cell
+        set_row = conn_row + 3
         layout.addWidget(QLabel("Batch size:"), set_row, 0)
         self.batch_size_box = QSpinBox()
         self.batch_size_box.setRange(1, 64)

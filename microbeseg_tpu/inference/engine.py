@@ -90,16 +90,29 @@ class InferenceEngine:
 
     def _normalize_batch(self, frames: np.ndarray) -> np.ndarray:
         """Per-frame min/max normalization to [-1, 1] (reference
-        infer.py:253,346), optional CLAHE pre-enhancement."""
+        infer.py:253,346), optional CLAHE pre-enhancement.
+
+        CLAHE runs vmapped over the whole stack in ONE device call — the
+        per-frame loop cost one ~25 ms tunnel round-trip per frame on this
+        hardware (host<->device latency dominates at stack lengths)."""
+        if self.cfg.apply_clahe:
+            f = np.asarray(frames, np.float32)
+            fmin = f.min(axis=(1, 2), keepdims=True)
+            fmax = f.max(axis=(1, 2), keepdims=True)
+            f01 = (f - fmin) / np.maximum(fmax - fmin, 1e-7)
+            frames = np.asarray(
+                self._batched_clahe()(jnp.asarray(f01))) * 65535.0
         out = np.empty(frames.shape, np.float32)
         for i, f in enumerate(frames):
-            if self.cfg.apply_clahe:
-                f01 = np.asarray(f, np.float32)
-                fmin, fmax = f01.min(), f01.max()
-                f01 = (f01 - fmin) / max(fmax - fmin, 1e-7)
-                f = np.asarray(clahe(jnp.asarray(f01))) * 65535.0
             out[i] = min_max_normalization(f)
         return out
+
+    def _batched_clahe(self):
+        fn = self._post_cache.get("clahe")
+        if fn is None:
+            fn = jax.jit(jax.vmap(clahe))
+            self._post_cache["clahe"] = fn
+        return fn
 
     def _rescale(self, arrays: np.ndarray, out_hw: Tuple[int, int],
                  method: str) -> np.ndarray:

@@ -56,13 +56,16 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 2,
     ~milliseconds on TPU (measured 9+ ms/crop at 256^2) vs microseconds for
     the sweeps — so jumping is off by default and propagation runs
     ``steps_per_check`` sweeps between convergence reductions.
-    max_iters: 0 -> H + W (covers convex-ish regions; pass more or enable
-    pointer_jumping for pathological snakes).
+    max_iters: 0 -> H * W, the true geodesic-diameter bound — curved /
+    filamentous components (common in microbe imagery) have geodesic length
+    well beyond H + W, and an undershot bound silently splits them.  The
+    early-exit convergence check makes the larger bound nearly free: the
+    loop stops ``steps_per_check`` sweeps after the fixed point regardless.
     """
     mask = mask.astype(bool)
     H, W = mask.shape
     if max_iters == 0:
-        max_iters = H + W
+        max_iters = H * W
     se = generate_binary_structure(2, connectivity)
     idx = (jnp.arange(H * W, dtype=jnp.int32) + 1).reshape(H, W)
     labels0 = jnp.where(mask, idx, 0)
@@ -103,13 +106,15 @@ def sequentialize_components(labels: jnp.ndarray, max_iters: int = 0,
     inference hot path (each costs ~0.4 ms per 65K elements on TPU —
     scripts/microbench_gather.py — vs cheap VPU sweeps here).
 
-    Convergence is O(component diameter) sweeps — intended for seed
-    components (cell cores); for arbitrary masks use ``relabel_sequential``.
+    Convergence is O(component geodesic diameter) sweeps — the default
+    ``max_iters`` bound is H * W so snaking components converge too; the
+    early-exit check stops the loop right after the fixed point, so blob-like
+    seeds still cost only a handful of sweeps.
     """
     labels = labels.astype(jnp.int32)
     H, W = labels.shape
     if max_iters == 0:
-        max_iters = H + W
+        max_iters = H * W
     idx = (jnp.arange(H * W, dtype=jnp.int32) + 1).reshape(H, W)
     mask = labels > 0
     roots = (labels == idx) & mask

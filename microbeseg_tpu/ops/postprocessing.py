@@ -21,6 +21,15 @@ from microbeseg_tpu.ops.filters import gaussian_filter
 from microbeseg_tpu.ops.watershed import watershed, watershed_fast
 
 
+# one-hot chunk size for the seed-histogram matmuls: 64K pixels * 257 ids
+# * 2 B (bf16) = 33 MB of VMEM-streamable intermediate per chunk.  A single
+# full-frame one-hot is fine at crop sizes but would need ~2.2 GB at 2048^2
+# and ~8.6 GB at 4096^2 (segment() post-processes at FULL frame resolution
+# even when tiling only the forward pass), so larger frames stream the same
+# MXU contraction over row chunks via lax.scan instead.
+_ONEHOT_CHUNK = 256 * 256
+
+
 def _prune_small_seeds(seeds_bin: jnp.ndarray, min_area_floor: float,
                        rel_mean: float, max_seeds: int = 256) -> jnp.ndarray:
     """Label seed components sequentially and drop those with area <=
@@ -28,7 +37,7 @@ def _prune_small_seeds(seeds_bin: jnp.ndarray, min_area_floor: float,
 
     TPU-native path: CC ids are sequentialized gather-free (root rank
     flooding), then component areas, the prune decision, AND the compact
-    renumbering all ride one (H*W, max_seeds+1) one-hot matmul pair on the
+    renumbering all ride (pixels, max_seeds+1) one-hot matmul pairs on the
     MXU — per-element scatter/gather histograms cost ~0.4 ms per 65K elements
     on this hardware (scripts/microbench_gather.py) while these matmuls are
     ~free.  Because the surviving ids come out compacted to 1..n, the
@@ -40,23 +49,49 @@ def _prune_small_seeds(seeds_bin: jnp.ndarray, min_area_floor: float,
     rank = sequentialize_components(connected_components(seeds_bin))
     cap = max_seeds
     rank = jnp.where(rank > cap, 0, rank)  # beyond-capacity components drop
-    oh = jax.nn.one_hot(rank, cap + 1, dtype=jnp.bfloat16)
-    ones = jnp.ones(rank.shape, jnp.bfloat16)
-    areas = jnp.einsum("hwn,hw->n", oh, ones,
-                       preferred_element_type=jnp.float32)
+    # bf16 represents integers <= 256 exactly (use f32 for larger caps); the
+    # one-hot rows are 0/1, so the remap matmul is exact
+    id_dt = jnp.bfloat16 if cap <= 256 else jnp.float32
+
+    n_pix = rank.size
+    if n_pix <= _ONEHOT_CHUNK:
+        oh = jax.nn.one_hot(rank, cap + 1, dtype=jnp.bfloat16)
+        ones = jnp.ones(rank.shape, jnp.bfloat16)
+        areas = jnp.einsum("hwn,hw->n", oh, ones,
+                           preferred_element_type=jnp.float32)
+    else:
+        pad = (-n_pix) % _ONEHOT_CHUNK  # padded 0s land in id 0, zeroed below
+        chunks = jnp.pad(rank.reshape(-1), (0, pad)).reshape(
+            -1, _ONEHOT_CHUNK)
+        ones = jnp.ones((_ONEHOT_CHUNK,), jnp.bfloat16)
+
+        def hist_body(acc, c):
+            oh_c = jax.nn.one_hot(c, cap + 1, dtype=jnp.bfloat16)
+            return acc + jnp.einsum("pn,p->n", oh_c, ones,
+                                    preferred_element_type=jnp.float32), None
+
+        areas, _ = jax.lax.scan(hist_body,
+                                jnp.zeros((cap + 1,), jnp.float32), chunks)
     areas = areas.at[0].set(0.0)
     n = jnp.sum(areas > 0)
     mean_area = jnp.sum(areas) / jnp.maximum(n, 1)
     min_area = jnp.where(n > 0, rel_mean * mean_area, 0.0)
     min_area = jnp.maximum(min_area, min_area_floor)
     kept = areas > min_area                       # (cap+1,)
-    newid = jnp.cumsum(kept.astype(jnp.int32)) * kept
-    # bf16 represents integers <= 256 exactly (use f32 for larger caps); the
-    # one-hot rows are 0/1, so the remap matmul is exact
-    id_dt = jnp.bfloat16 if cap <= 256 else jnp.float32
-    out = jnp.einsum("hwn,n->hw", oh, newid.astype(id_dt),
-                     preferred_element_type=jnp.float32)
-    return out.astype(jnp.int32)
+    newid = (jnp.cumsum(kept.astype(jnp.int32)) * kept).astype(id_dt)
+
+    if n_pix <= _ONEHOT_CHUNK:
+        out = jnp.einsum("hwn,n->hw", oh, newid,
+                         preferred_element_type=jnp.float32)
+        return out.astype(jnp.int32)
+
+    def remap_body(_, c):
+        oh_c = jax.nn.one_hot(c, cap + 1, dtype=jnp.bfloat16)
+        return None, jnp.einsum("pn,n->p", oh_c, newid,
+                                preferred_element_type=jnp.float32)
+
+    _, out = jax.lax.scan(remap_body, None, chunks)
+    return out.reshape(-1)[:n_pix].reshape(rank.shape).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("max_seeds", "n_levels", "method"))

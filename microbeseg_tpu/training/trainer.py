@@ -217,12 +217,31 @@ class Trainer:
         start_epoch = 0
         state_stem = self.path_models / f"{cfg.run_name}_state"
         if resume:
-            from microbeseg_tpu.models.io import load_train_state
-            template = {"params": jax.device_get(params),
-                        "batch_stats": jax.device_get(batch_stats),
-                        "opt_state": jax.device_get(opt_state),
-                        "step_key": jax.device_get(step_key)}
-            loaded = load_train_state(template, state_stem)
+            from microbeseg_tpu.models.io import load_train_state, peek_train_state
+            # fingerprint check BEFORE deserializing: a snapshot written under
+            # a different optimizer/batch_size/filters/... would crash
+            # serialization.from_bytes on the mismatched opt_state template
+            # (or silently train a different schedule)
+            host_meta = peek_train_state(state_stem)
+            loaded = None
+            if host_meta is not None:
+                mismatched = self._snapshot_mismatch(host_meta)
+                if mismatched:
+                    self.text_output(
+                        "Training snapshot found but rejected "
+                        f"({', '.join(mismatched)} differ) — "
+                        "starting from scratch")
+                else:
+                    template = {"params": jax.device_get(params),
+                                "batch_stats": jax.device_get(batch_stats),
+                                "opt_state": jax.device_get(opt_state),
+                                "step_key": jax.device_get(step_key)}
+                    loaded = load_train_state(template, state_stem)
+            if loaded is not None and loaded[1].get("second_run") != second_run:
+                self.text_output(
+                    "Training snapshot belongs to the "
+                    f"{'fine-tune' if loaded[1].get('second_run') else 'main'}"
+                    " run — starting this phase from scratch")
             if loaded is not None and loaded[1].get("second_run") == second_run:
                 arrays, host = loaded
                 params = arrays["params"]
@@ -239,7 +258,7 @@ class Trainer:
                 val_hist = list(host["val_hist"])
                 self.text_output(
                     f"Resume training from epoch {start_epoch + 1}")
-            elif loaded is None:
+            elif host_meta is None:
                 self.text_output("No training snapshot found — "
                                  "starting from scratch")
         since = time.time()
@@ -330,7 +349,8 @@ class Trainer:
                      "np_rng": np_rng.bit_generator.state,
                      "sched": {k: v for k, v in scheduler.__dict__.items()
                                if not k.startswith("_")},
-                     "second_run": second_run},
+                     "second_run": second_run,
+                     "cfg": self._snapshot_fingerprint()},
                     state_stem)
 
             self.progress(int(100 * (epoch + 1) / run_epochs))
@@ -448,6 +468,27 @@ class Trainer:
         self.text_output(
             f"Recalibrated BatchNorm statistics over {n} train images")
 
+    def _snapshot_fingerprint(self) -> dict:
+        """Config fields that shape the opt_state template / schedule; a
+        snapshot is only resumable when these all match."""
+        cfg = self.cfg
+        return {"optimizer": cfg.optimizer, "batch_size": cfg.batch_size,
+                "filters": list(cfg.model.filters),
+                "normalization": cfg.model.normalization,
+                "label_type": cfg.label_type, "loss": cfg.loss,
+                "unet_type": cfg.model.unet_type,
+                "act_fun": cfg.model.act_fun}
+
+    def _snapshot_mismatch(self, host: dict) -> list:
+        """Fingerprint keys on which the snapshot differs from this run's
+        config (pre-fingerprint snapshots — no 'cfg' key — accept, matching
+        the old behavior)."""
+        saved = host.get("cfg")
+        if saved is None:
+            return []
+        current = self._snapshot_fingerprint()
+        return [k for k, v in current.items() if saved.get(k) != v]
+
     def _write_loss_history(self, train_hist, val_hist, second_run):
         stats = np.transpose(np.array(
             [list(range(1, len(train_hist) + 1)), train_hist, val_hist]))
@@ -476,16 +517,18 @@ class Trainer:
                 max_epochs=get_max_epochs(len(data), data.crop_size))
         cfg = self.cfg
 
-        # resume lands in whichever run the snapshot belongs to
+        # resume lands in whichever run the snapshot belongs to — unless the
+        # snapshot's config fingerprint differs, in which case the whole
+        # two-phase schedule restarts (train() would reject it anyway)
         resume_second = False
+        host = None
         if resume:
             from microbeseg_tpu.models.io import peek_train_state
             host = peek_train_state(self.path_models / f"{cfg.run_name}_state")
-            resume_second = bool(host and host.get("second_run"))
+            resume_second = bool(host and host.get("second_run")
+                                 and not self._snapshot_mismatch(host))
 
         if resume_second:
-            from microbeseg_tpu.models.io import peek_train_state
-            host = peek_train_state(self.path_models / f"{cfg.run_name}_state")
             best = self.train(data, best_loss=host["best_loss"],
                               print_output=print_output, resume=True)
             extra: Dict = {}

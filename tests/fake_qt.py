@@ -168,7 +168,27 @@ class _Layout:
 
 
 class QGridLayout(_Layout):
-    pass
+    """Tracks cell occupancy: real Qt silently stacks two widgets added to
+    the same grid cell (rendering both unusable), which headless tests can't
+    see — so the fake asserts instead (caught a real overlap in round 2)."""
+
+    def __init__(self, parent=None):
+        super().__init__(parent)
+        self._cells = {}
+
+    def addWidget(self, w, *pos):
+        super().addWidget(w, *pos)
+        if len(pos) >= 2:
+            row, col = pos[0], pos[1]
+            rspan = pos[2] if len(pos) >= 4 else 1
+            cspan = pos[3] if len(pos) >= 4 else 1
+            for r in range(row, row + rspan):
+                for c in range(col, col + cspan):
+                    prev = self._cells.get((r, c))
+                    assert prev is None, (
+                        f"two widgets in grid cell ({r}, {c}): "
+                        f"{type(prev).__name__} and {type(w).__name__}")
+                    self._cells[(r, c)] = w
 
 
 class QHBoxLayout(_Layout):

@@ -92,3 +92,36 @@ class TestRemap:
         m = np.array([[0, 5], [9, 5]])
         out = remap_label(m)
         np.testing.assert_array_equal(out, [[0, 1], [2, 1]])
+
+
+class TestPairCoordinates:
+    def test_pairs_within_radius(self):
+        """Reference stats_utils.py:398-434: Hungarian pairing on Euclidean
+        cost, pairs beyond the radius discarded."""
+        from microbeseg_tpu.evaluation.metrics import pair_coordinates
+
+        set_a = np.array([[0., 0.], [10., 10.], [50., 50.]], np.float32)
+        set_b = np.array([[1., 0.], [10., 11.], [200., 200.]], np.float32)
+        pairing, un_a, un_b = pair_coordinates(set_a, set_b, radius=2.0)
+        assert sorted(map(tuple, pairing.tolist())) == [(0, 0), (1, 1)]
+        np.testing.assert_array_equal(un_a, [2])
+        np.testing.assert_array_equal(un_b, [2])
+
+    def test_optimal_not_greedy(self):
+        """Greedy nearest-first would pair a0-b0 and strand a1; the optimal
+        assignment pairs a0-b1, a1-b0."""
+        from microbeseg_tpu.evaluation.metrics import pair_coordinates
+
+        set_a = np.array([[0., 0.], [1., 0.]], np.float32)
+        set_b = np.array([[1.1, 0.], [0.4, 0.]], np.float32)
+        pairing, un_a, un_b = pair_coordinates(set_a, set_b, radius=5.0)
+        assert sorted(map(tuple, pairing.tolist())) == [(0, 1), (1, 0)]
+        assert un_a.size == 0 and un_b.size == 0
+
+    def test_empty_sets(self):
+        from microbeseg_tpu.evaluation.metrics import pair_coordinates
+
+        pairing, un_a, un_b = pair_coordinates(
+            np.zeros((0, 2), np.float32), np.zeros((3, 2), np.float32), 1.0)
+        assert pairing.shape[0] == 0
+        np.testing.assert_array_equal(un_b, [0, 1, 2])

@@ -545,3 +545,73 @@ class TestSmokeTrain:
         assert sidecar["optimizer"] == "ranger"
         assert "trained_epochs" in sidecar
         assert sidecar["architecture"][0] == "DU"
+
+
+class TestSnapshotFingerprint:
+    def _data(self, rng):
+        from microbeseg_tpu.training.data import SplitArrays, TrainingData
+
+        images = rng.integers(0, 65535, (8, 16, 16, 1)).astype(np.float32)
+        labels = {
+            "border_label": rng.random((8, 16, 16, 1)).astype(np.float32),
+            "cell_label": rng.random((8, 16, 16, 1)).astype(np.float32)}
+        split = SplitArrays(images=images, labels=labels,
+                            ids=[str(i) for i in range(8)])
+        return TrainingData(train=split, val=split, crop_size=16)
+
+    def test_mismatched_config_rejects_snapshot_with_message(
+            self, tmp_path, rng):
+        """Resuming with a different optimizer must NOT deserialize the
+        snapshot into the (mismatched) opt_state template — it rejects with
+        an explicit message and restarts (ADVICE r2)."""
+        import dataclasses
+
+        from microbeseg_tpu.config import ModelConfig, TrainConfig
+        from microbeseg_tpu.training.trainer import Trainer
+
+        data = self._data(rng)
+        cfg = TrainConfig(model=ModelConfig(filters=(8, 16), act_fun="relu",
+                                            normalization="gn"),
+                          optimizer="adam", batch_size=4, max_epochs=20,
+                          run_name="distance_model_01",
+                          compute_dtype="float32", train_state_every=1)
+        t_a = Trainer(cfg, tmp_path)
+        msgs_a = []
+        t_a.text_output = msgs_a.append
+        t_a.should_stop = lambda: sum("Loss" in m for m in msgs_a) >= 2
+        t_a.train(data)
+        assert (tmp_path / "distance_model_01_state.train_state").is_file()
+
+        cfg_b = dataclasses.replace(
+            cfg, optimizer="ranger",
+            model=dataclasses.replace(cfg.model, act_fun="mish"))
+        t_b = Trainer(cfg_b, tmp_path)
+        msgs_b = []
+        t_b.text_output = msgs_b.append
+        t_b.should_stop = lambda: any("Loss" in m for m in msgs_b)
+        t_b.train(data, resume=True)
+        assert any("rejected" in m and "optimizer" in m for m in msgs_b)
+        assert not any("Resume training" in m for m in msgs_b)
+
+    def test_matching_config_still_resumes(self, tmp_path, rng):
+        from microbeseg_tpu.config import ModelConfig, TrainConfig
+        from microbeseg_tpu.training.trainer import Trainer
+
+        data = self._data(rng)
+        cfg = TrainConfig(model=ModelConfig(filters=(8, 16), act_fun="relu",
+                                            normalization="gn"),
+                          optimizer="adam", batch_size=4, max_epochs=20,
+                          run_name="distance_model_01",
+                          compute_dtype="float32", train_state_every=1)
+        t_a = Trainer(cfg, tmp_path)
+        msgs_a = []
+        t_a.text_output = msgs_a.append
+        t_a.should_stop = lambda: sum("Loss" in m for m in msgs_a) >= 2
+        t_a.train(data)
+
+        t_b = Trainer(cfg, tmp_path)
+        msgs_b = []
+        t_b.text_output = msgs_b.append
+        t_b.should_stop = lambda: any("Loss" in m for m in msgs_b)
+        t_b.train(data, resume=True)
+        assert any("Resume training from epoch 3" in m for m in msgs_b)
