@@ -105,6 +105,33 @@ class ImageStore:
     def create_dataset(self, name: str, project_id: int = -1) -> int:
         raise NotImplementedError
 
+    # -- dataset-level annotations (the reference keeps per-trainset state
+    # on the OMERO dataset: the crop_size map annotation,
+    # microbe_seg_gui.py:1976-1981/2172-2185, and the split_info.json file
+    # annotation, :2188-2206/2782-2796) ---------------------------------
+    def get_dataset_map_annotation(self, dataset_id: int) -> Dict[str, str]:
+        raise NotImplementedError
+
+    def set_dataset_map_annotation(self, dataset_id: int,
+                                   kv: Dict[str, str]) -> None:
+        raise NotImplementedError
+
+    def attach_dataset_file(self, dataset_id: int, path: Path,
+                            namespace: str = "") -> None:
+        raise NotImplementedError
+
+    def list_dataset_attachments(self, dataset_id: int,
+                                 namespace: Optional[str] = None) -> List[str]:
+        raise NotImplementedError
+
+    def download_dataset_attachment(self, dataset_id: int, name: str,
+                                    target: Path) -> Optional[Path]:
+        raise NotImplementedError
+
+    def delete_dataset_attachments(self, dataset_id: int,
+                                   namespace: Optional[str] = None) -> None:
+        raise NotImplementedError
+
     def dataset_name(self, dataset_id: int) -> str:
         raise NotImplementedError
 
@@ -170,6 +197,42 @@ class LocalStore(ImageStore):
         meta = self._read_json(
             self.root / "datasets" / str(dataset_id) / "meta.json", {})
         return meta.get("name", str(dataset_id))
+
+    def _ds_dir(self, dataset_id: int) -> Path:
+        d = self.root / "datasets" / str(dataset_id)
+        if not d.is_dir():
+            raise KeyError(f"dataset {dataset_id} not found")
+        return d
+
+    def get_dataset_map_annotation(self, dataset_id: int) -> Dict[str, str]:
+        return self._read_json(self._ds_dir(dataset_id) / "map.json", {})
+
+    def set_dataset_map_annotation(self, dataset_id: int,
+                                   kv: Dict[str, str]) -> None:
+        d = self._ds_dir(dataset_id)
+        cur = self._read_json(d / "map.json", {})
+        cur.update({k: str(v) for k, v in kv.items()})
+        (d / "map.json").write_text(json.dumps(cur))
+
+    def attach_dataset_file(self, dataset_id: int, path: Path,
+                            namespace: str = "") -> None:
+        self._attach(self._ds_dir(dataset_id) / "attachments",
+                     path, namespace)
+
+    def list_dataset_attachments(self, dataset_id: int,
+                                 namespace: Optional[str] = None) -> List[str]:
+        return self._list_attach(self._ds_dir(dataset_id) / "attachments",
+                                 namespace)
+
+    def download_dataset_attachment(self, dataset_id: int, name: str,
+                                    target: Path) -> Optional[Path]:
+        return self._download_attach(
+            self._ds_dir(dataset_id) / "attachments", name, target)
+
+    def delete_dataset_attachments(self, dataset_id: int,
+                                   namespace: Optional[str] = None) -> None:
+        self._delete_attach(self._ds_dir(dataset_id) / "attachments",
+                            namespace, None)
 
     def list_datasets(self, project_id: int) -> List[int]:
         out = []
@@ -259,19 +322,20 @@ class LocalStore(ImageStore):
         if p.is_file():
             p.unlink()
 
-    # -- attachments ---------------------------------------------------
-    def attach_file(self, image_id: int, path: Path,
-                    namespace: str = "") -> None:
-        d = self._img_dir(image_id) / "attachments"
+    # -- attachments (shared helpers: image- and dataset-level attachments
+    # use the same directory layout) -----------------------------------
+    def _attach(self, d: Path, path: Path, namespace: str) -> None:
+        d.mkdir(parents=True, exist_ok=True)
         target = d / Path(path).name
         target.write_bytes(Path(path).read_bytes())
         ns = self._read_json(d / "_namespaces.json", {})
         ns[Path(path).name] = namespace
         (d / "_namespaces.json").write_text(json.dumps(ns))
 
-    def list_attachments(self, image_id: int,
-                         namespace: Optional[str] = None) -> List[str]:
-        d = self._img_dir(image_id) / "attachments"
+    def _list_attach(self, d: Path,
+                     namespace: Optional[str]) -> List[str]:
+        if not d.is_dir():
+            return []
         ns = self._read_json(d / "_namespaces.json", {})
         out = []
         for f in sorted(d.iterdir()):
@@ -281,19 +345,19 @@ class LocalStore(ImageStore):
                 out.append(f.name)
         return out
 
-    def download_attachment(self, image_id: int, name: str,
-                            target: Path) -> Optional[Path]:
-        src = self._img_dir(image_id) / "attachments" / name
+    def _download_attach(self, d: Path, name: str,
+                         target: Path) -> Optional[Path]:
+        src = d / name
         if not src.is_file():
             return None
         target = Path(target)
         target.write_bytes(src.read_bytes())
         return target
 
-    def delete_attachments(self, image_id: int,
-                           namespace: Optional[str] = None,
-                           names: Optional[List[str]] = None) -> None:
-        d = self._img_dir(image_id) / "attachments"
+    def _delete_attach(self, d: Path, namespace: Optional[str],
+                       names: Optional[List[str]]) -> None:
+        if not d.is_dir():
+            return
         ns = self._read_json(d / "_namespaces.json", {})
         for f in list(d.iterdir()):
             if f.name.startswith("_"):
@@ -305,6 +369,26 @@ class LocalStore(ImageStore):
                 f.unlink()
                 ns.pop(f.name, None)
         (d / "_namespaces.json").write_text(json.dumps(ns))
+
+    def attach_file(self, image_id: int, path: Path,
+                    namespace: str = "") -> None:
+        self._attach(self._img_dir(image_id) / "attachments", path, namespace)
+
+    def list_attachments(self, image_id: int,
+                         namespace: Optional[str] = None) -> List[str]:
+        return self._list_attach(self._img_dir(image_id) / "attachments",
+                                 namespace)
+
+    def download_attachment(self, image_id: int, name: str,
+                            target: Path) -> Optional[Path]:
+        return self._download_attach(self._img_dir(image_id) / "attachments",
+                                     name, target)
+
+    def delete_attachments(self, image_id: int,
+                           namespace: Optional[str] = None,
+                           names: Optional[List[str]] = None) -> None:
+        self._delete_attach(self._img_dir(image_id) / "attachments",
+                            namespace, names)
 
 
 def _with_reconnect(fn):
@@ -426,6 +510,90 @@ class OmeroStore(ImageStore):
         if project is None:
             raise KeyError(f"project {project_id} not found")
         return [int(ds.getId()) for ds in project.listChildren()]
+
+    def _dataset(self, dataset_id: int):
+        ds = self._conn.getObject("Dataset", dataset_id)
+        if ds is None:
+            raise KeyError(f"dataset {dataset_id} not found")
+        return ds
+
+    @_with_reconnect
+    def get_dataset_map_annotation(self, dataset_id: int) -> Dict[str, str]:
+        # reference microbe_seg_gui.py:2172-2185 (crop_size read-back)
+        wrapper = self._omero.gateway.MapAnnotationWrapper
+        out: Dict[str, str] = {}
+        for ann in self._dataset(dataset_id).listAnnotations():
+            if isinstance(ann, wrapper):
+                out.update({str(k): str(v) for k, v in ann.getValue()})
+        return out
+
+    @_with_reconnect
+    def set_dataset_map_annotation(self, dataset_id: int,
+                                   kv: Dict[str, str]) -> None:
+        # reference microbe_seg_gui.py:1976-1981 (crop_size on the trainset;
+        # client namespace so OMERO.web/Insight can edit it); merge-replace
+        # like set_map_annotation
+        ds = self._dataset(dataset_id)
+        wrapper = self._omero.gateway.MapAnnotationWrapper
+        merged: Dict[str, str] = {}
+        stale = []
+        for ann in ds.listAnnotations():
+            if isinstance(ann, wrapper):
+                merged.update({str(k): str(v) for k, v in ann.getValue()})
+                if ann.canEdit():
+                    stale.append(ann.getId())
+        merged.update({str(k): str(v) for k, v in kv.items()})
+        ann = wrapper(self._conn)
+        ann.setNs(self._omero.constants.metadata.NSCLIENTMAPANNOTATION)
+        ann.setValue([[k, v] for k, v in merged.items()])
+        ann.save()
+        ds.linkAnnotation(ann)
+        if stale:
+            self._conn.deleteObjects("Annotation", stale, wait=True)
+
+    def _ds_file_anns(self, dataset_id: int, namespace: Optional[str]):
+        wrapper = self._omero.gateway.FileAnnotationWrapper
+        for ann in self._dataset(dataset_id).listAnnotations():
+            if isinstance(ann, wrapper):
+                if namespace is None or ann.getNs() == namespace:
+                    yield ann
+
+    @_with_reconnect
+    def attach_dataset_file(self, dataset_id: int, path: Path,
+                            namespace: str = "") -> None:
+        # reference microbe_seg_gui.py:2782-2796 (split_info.json re-upload)
+        ds = self._dataset(dataset_id)
+        ann = self._conn.createFileAnnfromLocalFile(
+            str(path), mimetype="application/json", ns=namespace or None)
+        ds.linkAnnotation(ann)
+
+    @_with_reconnect
+    def list_dataset_attachments(self, dataset_id: int,
+                                 namespace: Optional[str] = None) -> List[str]:
+        return [ann.getFileName()
+                for ann in self._ds_file_anns(dataset_id, namespace)]
+
+    @_with_reconnect
+    def download_dataset_attachment(self, dataset_id: int, name: str,
+                                    target: Path) -> Optional[Path]:
+        # reference microbe_seg_gui.py:2188-2200 (split_info.json download)
+        for ann in self._ds_file_anns(dataset_id, None):
+            if ann.getFileName() == name:
+                target = Path(target)
+                with open(target, "wb") as fh:
+                    for chunk in ann.getFileInChunks():
+                        fh.write(chunk)
+                return target
+        return None
+
+    @_with_reconnect
+    def delete_dataset_attachments(self, dataset_id: int,
+                                   namespace: Optional[str] = None) -> None:
+        # reference microbe_seg_gui.py:2789-2793 (stale split_info eviction)
+        ids = [ann.getId()
+               for ann in self._ds_file_anns(dataset_id, namespace)]
+        if ids:
+            self._conn.deleteObjects("Annotation", ids, wait=True)
 
     @_with_reconnect
     def image_group(self, image_id: int) -> int:

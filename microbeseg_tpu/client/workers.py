@@ -123,11 +123,13 @@ def import_data(store: ImageStore, dataset_id: int, img_paths: Sequence[Path],
     Pads small images to crop_size or center-crops a grid, skipping
     near-empty crops (reference :125-185); assigns train/val/test randomly by
     probability (:188-194); uploads with the 15-key map annotation (:197-230)
-    and polygon ROIs (:240-256); maintains split_info.json (:258-272).
+    and polygon ROIs (:240-256); names crops img_extNNN by the persisted
+    num_ext counter and re-uploads split_info.json on the trainset dataset
+    (:67-78, :201-207, :258-272).
     """
     rng = np.random.default_rng(seed)
     uploaded = []
-    split_info = {"used": [], "train": 0, "val": 0, "test": 0}
+    split_info = load_split_info(store, dataset_id)
     for n, (ip, mp) in enumerate(zip(img_paths, mask_paths)):
         img = imread(ip)
         mask = imread(mp) if mp is not None else None
@@ -140,9 +142,10 @@ def import_data(store: ImageStore, dataset_id: int, img_paths: Sequence[Path],
                          max_frame=float(crop_img.max()),
                          mean_frame=float(crop_img.mean()),
                          std_frame=float(crop_img.std()))
-            iid = store.upload_image(dataset_id,
-                                     f"{Path(ip).stem}_{cy}_{cx}.tif",
-                                     crop_img.astype(np.uint16))
+            iid = store.upload_image(
+                dataset_id,
+                f"img_ext{split_info['num_ext']:03d}.tif",  # reference :201
+                crop_img.astype(np.uint16))
             store.set_map_annotation(iid, {
                 "set": subset, "crop_y": cy, "crop_x": cx,
                 "source_file": Path(ip).name,
@@ -151,18 +154,11 @@ def import_data(store: ImageStore, dataset_id: int, img_paths: Sequence[Path],
                 "upload_date": timestamp(), **stats})
             if crop_mask is not None and crop_mask.max() > 0:
                 store.add_polygons(iid, _mask_to_rois(crop_mask))
-            split_info[subset] += 1
-            split_info["used"].append(Path(ip).name)
+            split_info["num_ext"] += 1
             uploaded.append(iid)
         progress(int(100 * (n + 1) / len(img_paths)))
-    # split_info.json attached dataset-wide via the first image
     if uploaded:
-        import tempfile
-        with tempfile.TemporaryDirectory() as td:
-            tmp = Path(td) / "split_info.json"
-            tmp.write_text(json.dumps(split_info))
-            store.attach_file(uploaded[0], tmp,
-                              namespace="microbeseg.split_info")
+        save_split_info(store, dataset_id, split_info)
     return uploaded
 
 
@@ -312,38 +308,105 @@ class Crop:
     display: np.ndarray
     rois: List[RoiPolygon]
     overlay: Optional[np.ndarray]
+    # full-frame statistics BEFORE padding/cropping (the reference stores
+    # these for later denormalization at export, data_cropping.py:171)
+    min_frame: float = 0.0
+    max_frame: float = 0.0
+    mean_frame: float = 0.0
+    std_frame: float = 0.0
+
+
+SPLIT_INFO_NAMESPACE = "split.info.namespace"  # reference gui:2189, 2785
+SPLIT_INFO_NAME = "split_info.json"
+
+
+def default_split_info() -> dict:
+    """Reference split_info shape (microbe_seg_gui.py:2195-2206): 'used' =
+    [image_id, frame, channel] triples already offered for cropping,
+    'num_acc' = accepted interactive crops (drives split_assignment and
+    img_NNN naming), 'num_ext' = imported external crops (img_extNNN)."""
+    return {"used": [], "num_acc": 0, "num_ext": 0}
+
+
+def load_split_info(store: ImageStore, trainset_id: int) -> dict:
+    """Download the trainset's persisted split_info.json file annotation
+    (reference gui:2188-2206) — session-spanning used-frame dedup and split
+    counters; defaults on first use."""
+    import tempfile
+
+    info = default_split_info()
+    with tempfile.TemporaryDirectory() as td:
+        path = store.download_dataset_attachment(
+            trainset_id, SPLIT_INFO_NAME, Path(td) / SPLIT_INFO_NAME)
+        if path is not None:
+            info.update(json.loads(path.read_text()))
+    for key, val in default_split_info().items():
+        info.setdefault(key, val)
+    return info
+
+
+def save_split_info(store: ImageStore, trainset_id: int,
+                    split_info: dict) -> None:
+    """Replace the trainset's split_info.json annotation (reference
+    gui:2782-2796 deletes stale annotations in the namespace, then links the
+    fresh file)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        tmp = Path(td) / SPLIT_INFO_NAME
+        tmp.write_text(json.dumps(split_info, ensure_ascii=False, indent=2))
+        store.delete_dataset_attachments(trainset_id,
+                                         namespace=SPLIT_INFO_NAMESPACE)
+        store.attach_dataset_file(trainset_id, tmp,
+                                  namespace=SPLIT_INFO_NAMESPACE)
 
 
 class CropGenerator:
     """Builds the shuffled crop list (<=40% of frames, <=30 per experiment,
     used-frame dedup; reference microbe_seg_gui.py:2144-2149, 2247-2287) and
-    yields 1-3 random crop windows per frame along the longer axis
-    (data_cropping.py:157-199), with optional model pre-labeling."""
+    yields 1-3 random crop windows in disjoint segments along the longer
+    axis (data_cropping.py:157-199), with optional model pre-labeling.
+
+    ``trainset_id`` enables session persistence: split_info.json is loaded
+    from the trainset dataset and re-uploaded after every accepted crop, so
+    used-frame dedup and the 4/2/2 counters survive restarts (reference
+    gui:2188-2206, 2782-2796)."""
 
     def __init__(self, store: ImageStore, crop_size: int,
-                 engine=None, used: Optional[set] = None, seed: int = 0,
-                 channel: int = 0):
+                 engine=None, split_info: Optional[dict] = None,
+                 seed: int = 0, channel: int = 0,
+                 trainset_id: Optional[int] = None):
         self.store = store
         self.crop_size = crop_size
         self.engine = engine
-        self.used = used or set()
+        self.trainset_id = trainset_id
+        if split_info is None:
+            split_info = (load_split_info(store, trainset_id)
+                          if trainset_id is not None else default_split_info())
+        self.split_info = split_info
         self.rng = np.random.default_rng(seed)
         self.channel = channel
 
     def crop_list(self, dataset_id: int) -> List[Tuple[int, int]]:
+        used = {tuple(u) for u in self.split_info["used"]}
         items = []
         for ref in self.store.list_images(dataset_id):
             if ref.size_z > 1:
                 continue  # skip z-stacks
             if self.channel + 1 > ref.size_c:
                 continue  # missing channel
-            if min(ref.size_y, ref.size_x) < self.crop_size:
-                continue  # too small
-            n = max(1, int(0.4 * ref.size_t))
-            n = min(n, 30)
-            frames = self.rng.permutation(ref.size_t)[:n]
-            for t in frames:
-                if (ref.image_id, int(t)) in self.used:
+            # accept down to 0.9x the crop size — smaller frames are padded
+            # with the frame minimum (reference gui:2254, cropping :175-180)
+            if min(ref.size_y, ref.size_x) < 0.9 * self.crop_size:
+                continue
+            # evenly strided frame subset: <=40% of frames, ~30 per
+            # experiment (reference gui:2248-2251)
+            if 0.4 * ref.size_t > 30:
+                stride = int(np.ceil(ref.size_t // 30))
+            else:
+                stride = int(1 / 0.4)
+            for t in range(0, ref.size_t, max(stride, 1)):
+                if (ref.image_id, t, self.channel) in used:
                     continue
                 items.append((ref.image_id, int(t)))
         self.rng.shuffle(items)
@@ -353,13 +416,42 @@ class CropGenerator:
         img = self.store.get_plane(image_id, 0, self.channel, frame)
         H, W = img.shape
         cs = self.crop_size
-        n = 3 if max(H, W) >= 3 * cs else (2 if max(H, W) >= 2 * cs else 1)
+        if 0.9 * cs > H or 0.9 * cs > W:
+            return []  # too small even with padding (reference :174-176)
+        # frame statistics before padding (reference :171)
+        img_min, img_max = float(img.min()), float(img.max())
+        stats = dict(min_frame=img_min, max_frame=img_max,
+                     mean_frame=float(img.mean()),
+                     std_frame=float(img.std()))
+        # longer axis hosts 1-3 disjoint segments, one crop each
+        # (reference :157-168, :182-199)
+        crop_dim = 0 if H > W else 1
+        long_side = (H, W)[crop_dim]
+        n = 3 if long_side > 3 * cs else (2 if long_side > 2 * cs else 1)
+        y_pads, x_pads = max(cs - H, 0), max(cs - W, 0)
+        img = np.pad(img, ((0, y_pads), (0, x_pads)),
+                     constant_values=img_min)
         crops = []
-        for _ in range(n):
-            y = int(self.rng.integers(0, max(H - cs, 0) + 1))
-            x = int(self.rng.integers(0, max(W - cs, 0) + 1))
+        for i in range(n):
+            c = img.shape[crop_dim] // n
+            if y_pads > 0 and x_pads > 0:
+                y, x = 0, 0
+            elif crop_dim == 0 and y_pads == 0 and img.shape[0] > cs:
+                # crop i confined to segment [i*c, (i+1)*c) of the long axis
+                y = int(self.rng.integers(
+                    i * c, min(img.shape[0] - cs, (i + 1) * c - cs) + 1))
+                x = int(self.rng.integers(0, img.shape[1] - cs + 1))
+            elif crop_dim == 1 and x_pads == 0 and img.shape[1] > cs:
+                y = int(self.rng.integers(0, img.shape[0] - cs + 1))
+                x = int(self.rng.integers(
+                    i * c, min(img.shape[1] - cs, (i + 1) * c - cs) + 1))
+            else:
+                y, x = 0, 0
             crop = img[y:y + cs, x:x + cs]
-            display = (255 * (min_max_normalization(crop) + 1) / 2).astype(np.uint8)
+            # display scaled by FRAME min/max, not crop min/max
+            # (reference :205-206)
+            display = (255 * (min_max_normalization(crop, img_min, img_max)
+                              + 1) / 2).astype(np.uint8)
             rois, overlay = [], None
             if self.engine is not None:
                 mask = self.engine.segment(crop)
@@ -369,34 +461,56 @@ class CropGenerator:
                 overlay[outline] = (255, 255, 0)
             crops.append(Crop(image_id=image_id, frame=frame, y=y, x=x,
                               img=crop, display=display, rois=rois,
-                              overlay=overlay))
+                              overlay=overlay, **stats))
         return crops
 
-    def upload_crop(self, crop: Crop, trainset_id: int, subset: str) -> int:
-        stats = dict(min_frame=float(crop.img.min()),
-                     max_frame=float(crop.img.max()),
-                     mean_frame=float(crop.img.mean()),
-                     std_frame=float(crop.img.std()))
+    def upload_crop(self, crop: Crop, trainset_id: int, subset: str,
+                    persist: bool = True) -> int:
+        num = self.split_info["num_acc"]
         iid = self.store.upload_image(
-            trainset_id, f"crop_{crop.image_id}_{crop.frame}_{crop.y}_{crop.x}.tif",
+            trainset_id, f"img_{num:03d}.tif",  # reference gui:2726
             crop.img.astype(np.uint16))
         self.store.set_map_annotation(iid, {
             "set": subset, "source_image": crop.image_id,
             "frame": crop.frame, "crop_y": crop.y, "crop_x": crop.x,
             "crop_size": self.crop_size, "channel": self.channel,
             "pre_labeled": str(bool(crop.rois)),
-            "last_modification": "", "upload_date": timestamp(), **stats})
+            "last_modification": "", "upload_date": timestamp(),
+            "min_frame": crop.min_frame, "max_frame": crop.max_frame,
+            "mean_frame": crop.mean_frame, "std_frame": crop.std_frame})
         if crop.rois:
             self.store.add_polygons(iid, crop.rois)
-        self.used.add((crop.image_id, crop.frame))
+        # counters + used entry (reference gui:2743-2744), persisted to the
+        # trainset so a restarted session keeps deduping (gui:2782-2796)
+        self.split_info["num_acc"] += 1
+        self.split_info["used"].append(
+            [int(crop.image_id), int(crop.frame), int(self.channel)])
+        if persist and self.trainset_id is not None:
+            save_split_info(self.store, self.trainset_id, self.split_info)
         return iid
 
+    def mark_skipped(self, image_id: int, frame: int,
+                     persist: bool = True) -> None:
+        """Record a frame whose crops were all rejected so it is not offered
+        again (the reference appends denied frames to 'used' too —
+        split_info comment gui:2196)."""
+        entry = [int(image_id), int(frame), int(self.channel)]
+        if entry not in self.split_info["used"]:
+            self.split_info["used"].append(entry)
+        if persist and self.trainset_id is not None:
+            save_split_info(self.store, self.trainset_id, self.split_info)
 
-def split_assignment(counter: int) -> str:
-    """Deterministic 4/2/2-then-cycle train/val/test assignment
-    (reference microbe_seg_gui.py:2848-2865)."""
-    pattern = ["train", "train", "train", "train", "val", "val", "test", "test"]
-    return pattern[counter % len(pattern)]
+
+def split_assignment(num_crops: int) -> str:
+    """Deterministic train/val/test assignment by accepted-crop count
+    (reference microbe_seg_gui.py:2848-2865): the first 8 crops fill
+    4 train / 2 val / 2 test in a fixed order, afterwards a 6-cycle keeps
+    roughly 4/1/1 proportions."""
+    if num_crops < 8:
+        return ["train", "train", "val", "test",
+                "train", "train", "val", "test"][num_crops]
+    return ["train", "train", "val",
+            "train", "train", "test"][(num_crops - 8) % 6]
 
 
 # ---------------------------------------------------------------------------

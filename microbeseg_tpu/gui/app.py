@@ -100,7 +100,6 @@ class MicrobeSegMainWindow(QMainWindow):
         self._active_bridge = None
         self._crops = []
         self._crop_idx = 0
-        self._crop_counter = 0
 
         self.setWindowTitle("microbeSEG-tpu")
         self._build_ui()
@@ -400,6 +399,11 @@ class MicrobeSegMainWindow(QMainWindow):
         try:
             new_id = self.store.create_dataset(
                 name, project_id=int(self.project_box.value()))
+            # crop_size rides the trainset as a map annotation so every
+            # later crop session uses the size the set was created with
+            # (reference gui:1976-1981)
+            self.store.set_dataset_map_annotation(
+                new_id, {"crop_size": self.crop_size_box.currentText()})
         except Exception as exc:
             self.log.append(f"Error: {exc}")
             return
@@ -664,9 +668,25 @@ class MicrobeSegMainWindow(QMainWindow):
                 from microbeseg_tpu.inference.engine import InferenceEngine
                 engine = InferenceEngine.from_checkpoint(ckpt)
                 self.log.append(f"Pre-labeling with {ckpt.stem}.")
+        trainset_id = int(self.trainset_box.value())
+        # crop size comes from the trainset's map annotation (reference
+        # gui:2172-2185); the combo box is only the fallback for trainsets
+        # created outside this GUI
+        try:
+            meta = self.store.get_dataset_map_annotation(trainset_id)
+        except Exception:
+            meta = {}
+        if meta.get("crop_size"):
+            crop_size = int(meta["crop_size"])
+        else:
+            crop_size = int(self.crop_size_box.currentText())
+            self.log.append("No crop_size annotation on the trainset — "
+                            f"using {crop_size} from the selector.")
+        # split_info (used-frame dedup + split counters) persists on the
+        # trainset across sessions (reference gui:2188-2206)
         self._crop_gen = CropGenerator(
-            self.store, crop_size=int(self.crop_size_box.currentText()),
-            engine=engine, channel=int(self.channel_box.value()))
+            self.store, crop_size=crop_size, engine=engine,
+            channel=int(self.channel_box.value()), trainset_id=trainset_id)
         self._crop_items = self._crop_gen.crop_list(
             int(self.dataset_box.value()))
         if not self._crop_items:
@@ -675,13 +695,15 @@ class MicrobeSegMainWindow(QMainWindow):
         self._next_crop_set()
 
     def _next_crop_set(self):
-        if not self._crop_items:
-            self.log.append("Crop creation finished.")
-            return
-        image_id, frame = self._crop_items.pop()
-        self._crops = self._crop_gen.next_crops(image_id, frame)
-        self._crop_idx = 0
-        self._show_crop()
+        while self._crop_items:
+            image_id, frame = self._crop_items.pop()
+            self._crops = self._crop_gen.next_crops(image_id, frame)
+            if self._crops:
+                self._crop_idx = 0
+                self._show_crop()
+                return
+        self._crops = []
+        self.log.append("Crop creation finished.")
 
     def _show_crop(self):
         if not self._crops:
@@ -698,21 +720,30 @@ class MicrobeSegMainWindow(QMainWindow):
         if not self._crops or idx >= len(self._crops):
             return
         # 'Add to:' override (reference train/val/test checkboxes,
-        # gui:283-288); 'auto' keeps the 4/2/2 cycle
+        # gui:283-288); 'auto' follows the reference's persisted
+        # accepted-crop counter (gui:2707: split_assignment(num_acc))
         override = self.split_combo.currentText()
         subset = (override if override != "auto"
-                  else split_assignment(self._crop_counter))
-        self._crop_counter += 1
+                  else split_assignment(self._crop_gen.split_info["num_acc"]))
         self._crop_gen.upload_crop(self._crops[idx],
                                    int(self.trainset_box.value()), subset)
         self.log.append(f"Crop accepted -> {subset}")
         self._next_crop_set()
 
     def skip_crop(self):
+        """Advance within the crop set; skipping past the last crop denies
+        the frame (recorded in split_info['used'] like the reference, so it
+        is not offered again) and moves to the next frame."""
         if not self._crops:
             return
-        self._crop_idx = (self._crop_idx + 1) % len(self._crops)
-        self._show_crop()
+        if self._crop_idx + 1 < len(self._crops):
+            self._crop_idx += 1
+            self._show_crop()
+            return
+        crop = self._crops[0]
+        self._crop_gen.mark_skipped(crop.image_id, crop.frame)
+        self.log.append("Frame skipped.")
+        self._next_crop_set()
 
 
 def run_gui(store_root: Path = Path("./store"),

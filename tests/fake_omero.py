@@ -245,6 +245,20 @@ class _DatasetWrapper:
             if rec["dataset_id"] == self._did:
                 yield _ImageWrapper(self._conn, iid)
 
+    def listAnnotations(self, ns=None):
+        self._conn._check_alive()
+        rec = self._conn._server.datasets[self._did]
+        for ann in list(rec.setdefault("anns", [])):
+            if ns is None or ann.getNs() == ns:
+                yield ann
+
+    def linkAnnotation(self, ann):
+        self._conn._check_alive()
+        if getattr(ann, "_id", None) is None:
+            ann._id = self._conn._server.new_id()
+        self._conn._server.datasets[self._did].setdefault(
+            "anns", []).append(ann)
+
 
 class _ProjectWrapper:
     def __init__(self, conn, pid):
@@ -376,6 +390,9 @@ class FakeBlitzGateway:
         elif kind == "Annotation":
             for rec in server.images.values():
                 rec["anns"] = [a for a in rec["anns"]
+                               if a.getId() not in ids]
+            for rec in server.datasets.values():
+                rec["anns"] = [a for a in rec.get("anns", [])
                                if a.getId() not in ids]
         else:
             raise TypeError(f"unsupported delete kind {kind}")

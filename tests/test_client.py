@@ -195,6 +195,39 @@ class TestStoreContract:
         store.delete_attachments(iid, namespace="ns1")
         assert store.list_attachments(iid) == []
 
+    def test_dataset_map_annotation(self, any_store):
+        """Dataset-level key-value pairs (reference keeps crop_size on the
+        trainset dataset, microbe_seg_gui.py:1976-1981/2172-2185)."""
+        store, _ = any_store
+        did = store.create_dataset("trainset")
+        assert store.get_dataset_map_annotation(did) == {}
+        store.set_dataset_map_annotation(did, {"crop_size": 256})
+        assert store.get_dataset_map_annotation(did)["crop_size"] == "256"
+        # merge semantics like image-level annotations
+        store.set_dataset_map_annotation(did, {"other": "x"})
+        meta = store.get_dataset_map_annotation(did)
+        assert meta["crop_size"] == "256" and meta["other"] == "x"
+
+    def test_dataset_attachments(self, any_store, tmp_path):
+        """Dataset-level file annotations (split_info.json lives on the
+        trainset, reference gui:2188-2206/2782-2796)."""
+        store, _ = any_store
+        did = store.create_dataset("trainset")
+        f = tmp_path / "split_info.json"
+        f.write_text('{"used": [], "num_acc": 0}')
+        store.attach_dataset_file(did, f, namespace="split.info.namespace")
+        assert store.list_dataset_attachments(
+            did, namespace="split.info.namespace") == ["split_info.json"]
+        out = store.download_dataset_attachment(
+            did, "split_info.json", tmp_path / "dl.json")
+        assert '"num_acc": 0' in out.read_text()
+        assert store.download_dataset_attachment(
+            did, "nope.json", tmp_path / "x") is None
+        # replace-on-save: delete by namespace, re-attach
+        store.delete_dataset_attachments(did,
+                                         namespace="split.info.namespace")
+        assert store.list_dataset_attachments(did) == []
+
     def test_projects_and_groups(self, any_store):
         store, server = any_store
         if server is None:
@@ -428,14 +461,118 @@ class TestCropGenerator:
         iid = store.upload_image(did, "movie.tif", stack)
         gen = CropGenerator(store, crop_size=64, seed=0)
         items = gen.crop_list(did)
-        assert 1 <= len(items) <= 4  # <= 40% of 10 frames
+        # reference frame stride: 0.4*10 <= 30 -> every 2nd frame
+        # (microbe_seg_gui.py:2248-2251)
+        assert sorted(t for _, t in items) == [0, 2, 4, 6, 8]
         crops = gen.next_crops(*items[0])
-        assert len(crops) == 3  # 200 >= 3*64
+        assert len(crops) == 3  # 200 > 3*64
         assert crops[0].img.shape == (64, 64)
         tid = store.create_dataset("trainset")
         cid = gen.upload_crop(crops[0], tid, split_assignment(0))
         assert store.get_map_annotation(cid)["set"] == "train"
+        # crop named by the accepted-crop counter (reference gui:2726)
+        assert store.get_image(cid).name == "img_000.tif"
 
     def test_split_assignment_pattern(self):
-        seq = [split_assignment(i) for i in range(8)]
-        assert seq == ["train"] * 4 + ["val"] * 2 + ["test"] * 2
+        # reference microbe_seg_gui.py:2848-2865: fixed first-8 order, then
+        # a 6-cycle (14 crops: 8/3/3, 20: 12/4/4, ...)
+        first8 = [split_assignment(i) for i in range(8)]
+        assert first8 == ["train", "train", "val", "test",
+                          "train", "train", "val", "test"]
+        next6 = [split_assignment(i) for i in range(8, 14)]
+        assert next6 == ["train", "train", "val", "train", "train", "test"]
+        seq20 = [split_assignment(i) for i in range(20)]
+        assert (seq20.count("train"), seq20.count("val"),
+                seq20.count("test")) == (12, 4, 4)
+
+    def test_segmented_window_placement(self, tmp_path, rng):
+        """Crop i is confined to disjoint segment [i*c, (i+1)*c) of the
+        longer axis (reference data_cropping.py:183-197)."""
+        store = LocalStore(tmp_path)
+        did = store.create_dataset("exp")
+        # tall image: crop_dim = 0, 3 crops of 64 fit in H=300
+        stack = rng.integers(0, 65535, (1, 300, 80)).astype(np.uint16)
+        store.upload_image(did, "tall.tif", stack)
+        gen = CropGenerator(store, crop_size=64, seed=1)
+        for _ in range(25):
+            crops = gen.next_crops(gen.crop_list(did)[0][0], 0)
+            assert len(crops) == 3
+            c = 300 // 3
+            for i, crop in enumerate(crops):
+                assert i * c <= crop.y and crop.y + 64 <= (i + 1) * c
+                assert 0 <= crop.x <= 80 - 64
+        # crops never overlap along the segmented axis
+        ys = sorted(cr.y for cr in crops)
+        assert ys[0] + 64 <= ys[1] and ys[1] + 64 <= ys[2]
+
+    def test_small_image_padded_with_frame_min(self, tmp_path, rng):
+        """Images down to 0.9x crop size are accepted and padded with the
+        frame minimum (reference data_cropping.py:174-180)."""
+        store = LocalStore(tmp_path)
+        did = store.create_dataset("exp")
+        img = rng.integers(100, 65535, (1, 60, 60)).astype(np.uint16)
+        store.upload_image(did, "small.tif", img)
+        gen = CropGenerator(store, crop_size=64, seed=0)
+        items = gen.crop_list(did)
+        assert len(items) == 1  # 60 >= 0.9*64 = 57.6 -> accepted
+        crops = gen.next_crops(*items[0])
+        assert len(crops) == 1
+        assert crops[0].img.shape == (64, 64)
+        assert (crops[0].y, crops[0].x) == (0, 0)
+        # bottom/right padding carries the frame minimum
+        assert np.all(crops[0].img[60:, :] == img.min())
+        assert np.all(crops[0].img[:, 60:] == img.min())
+        # below 0.9x: skipped
+        store2 = LocalStore(tmp_path / "s2")
+        did2 = store2.create_dataset("exp")
+        store2.upload_image(did2, "tiny.tif",
+                            rng.integers(0, 9, (1, 50, 50)).astype(np.uint16))
+        assert CropGenerator(store2, crop_size=64).crop_list(did2) == []
+
+    def test_frame_stats_stored_not_crop_stats(self, tmp_path, rng):
+        """min/max_frame in the crop's map annotation are FULL-FRAME stats
+        (reference data_cropping.py:171 — export denormalizes with them)."""
+        store = LocalStore(tmp_path)
+        did = store.create_dataset("exp")
+        frame = rng.integers(500, 60000, (1, 96, 200)).astype(np.uint16)
+        frame[0, 0, 0] = 0       # frame min outside most crops
+        frame[0, -1, -1] = 65535  # frame max outside most crops
+        store.upload_image(did, "m.tif", frame)
+        gen = CropGenerator(store, crop_size=64, seed=3)
+        crops = gen.next_crops(gen.crop_list(did)[0][0], 0)
+        tid = store.create_dataset("trainset")
+        cid = gen.upload_crop(crops[1], tid, "train")
+        meta = store.get_map_annotation(cid)
+        assert float(meta["min_frame"]) == 0.0
+        assert float(meta["max_frame"]) == 65535.0
+
+    def test_split_info_persists_across_sessions(self, tmp_path, rng):
+        """Used-frame dedup and the num_acc counter survive a restart via
+        the trainset's split_info.json annotation (reference gui:2188-2206,
+        2782-2796)."""
+        store = LocalStore(tmp_path)
+        did = store.create_dataset("exp")
+        stack = rng.integers(0, 65535, (8, 96, 200)).astype(np.uint16)
+        store.upload_image(did, "movie.tif", stack)
+        tid = store.create_dataset("trainset")
+
+        gen1 = CropGenerator(store, crop_size=64, seed=0, trainset_id=tid)
+        items1 = gen1.crop_list(did)
+        iid, frame = items1[0]
+        crops = gen1.next_crops(iid, frame)
+        gen1.upload_crop(crops[0], tid, "train")
+        gen1.mark_skipped(*items1[1])
+
+        # 'restarted session': a fresh generator reloads split_info
+        gen2 = CropGenerator(store, crop_size=64, seed=0, trainset_id=tid)
+        assert gen2.split_info["num_acc"] == 1
+        items2 = gen2.crop_list(did)
+        used_frames = {(iid, frame), items1[1]}
+        assert used_frames.isdisjoint(set(items2))
+        assert len(items2) == len(items1) - 2
+        # the next accepted crop continues the counter and naming
+        crops2 = gen2.next_crops(*items2[0])
+        cid = gen2.upload_crop(crops2[0], tid, split_assignment(
+            gen2.split_info["num_acc"]))
+        assert store.get_image(cid).name == "img_001.tif"
+        assert store.get_map_annotation(cid)["set"] == "train"

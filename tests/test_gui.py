@@ -91,6 +91,60 @@ class TestGuiSmoke:
         assert "Crop accepted -> train" in win.log.toPlainText()
         assert len(store.list_images(tid)) == before + 1
 
+    def test_crop_size_annotation_round_trip(self, gui_app, tmp_path, rng):
+        """'Add' stores crop_size on the new trainset (reference
+        gui:1976-1981); crop creation reads it back (:2172-2185), ignoring
+        the combo box."""
+        win, store, eid, tid = _window(gui_app, tmp_path, rng)
+        win.new_trainset_edit.setText("ts2")
+        win.crop_size_box._items = ["64"]
+        win.crop_size_box._idx = 0
+        win.add_trainset_button.click()
+        new_id = int(win.trainset_box.value())
+        assert store.get_dataset_map_annotation(new_id)["crop_size"] == "64"
+        # read-back: combo now says something else; annotation wins
+        win.crop_size_box._items = ["320"]
+        win.crop_size_box._idx = 0
+        win.buttons["Create crops"].click()
+        assert win._crop_gen.crop_size == 64
+
+    def test_skip_denies_frame_and_session_restart_dedups(
+            self, gui_app, tmp_path, rng):
+        """Skipping past the last crop records the frame in the persisted
+        split_info (reference keeps denied frames in 'used', gui:2196);
+        a rebuilt window does not offer used frames again."""
+        win, store, eid, tid = _window(gui_app, tmp_path, rng)
+        store.set_dataset_map_annotation(tid, {"crop_size": "64"})
+        win.buttons["Create crops"].click()
+        n_frames = len(win._crop_items) + 1
+        fake_qt.QShortcut.trigger("1")  # accept (frame 1 used)
+        fake_qt.QShortcut.trigger("S")  # deny frame 2
+        assert "Frame skipped." in win.log.toPlainText()
+
+        win2, *_ = _window(gui_app, tmp_path, rng, with_data=False)
+        win2.store = store
+        win2.dataset_box.setValue(eid)
+        win2.trainset_box.setValue(tid)
+        win2.buttons["Create crops"].click()
+        assert win2._crop_gen.split_info["num_acc"] == 1
+        assert len(win2._crop_items) + 1 == n_frames - 2
+
+    def test_split_counter_continues_reference_pattern(
+            self, gui_app, tmp_path, rng):
+        """'auto' split follows split_assignment(num_acc) (reference
+        gui:2707): third accepted crop -> val."""
+        win, store, eid, tid = _window(gui_app, tmp_path, rng)
+        store.set_dataset_map_annotation(tid, {"crop_size": "64"})
+        win.buttons["Create crops"].click()
+        subsets = []
+        for _ in range(3):
+            fake_qt.QShortcut.trigger("1")
+        for ref in store.list_images(tid):
+            meta = store.get_map_annotation(ref.image_id)
+            if meta.get("source_image"):
+                subsets.append(meta["set"])
+        assert sorted(subsets) == ["train", "train", "val"]
+
     def test_busy_guard(self, gui_app, tmp_path, rng):
         win, *_ = _window(gui_app, tmp_path, rng)
         win._active_bridge = object()  # simulate running job
