@@ -139,6 +139,11 @@ class ImageStore:
         """Dataset ids under a project (reference infer_script.py:81-85)."""
         raise NotImplementedError
 
+    def list_projects(self) -> List[Tuple[int, str]]:
+        """(project_id, name) pairs visible to the user (reference browses
+        projects BY NAME in its selection dialogs, gui:1658-1797)."""
+        raise NotImplementedError
+
     def image_group(self, image_id: int) -> int:
         """Permission-group id of an image; the store-backed inference CLI
         enforces single-group selections (reference infer_script.py:106-108)."""
@@ -242,6 +247,31 @@ class LocalStore(ImageStore):
             if meta.get("project_id") == project_id:
                 out.append(int(p.name))
         return out
+
+    def create_project(self, name: str) -> int:
+        (self.root / "projects").mkdir(exist_ok=True)
+        pid = self._next_id("projects")
+        d = self.root / "projects" / str(pid)
+        d.mkdir()
+        (d / "meta.json").write_text(json.dumps({"name": name}))
+        return pid
+
+    def list_projects(self) -> List[Tuple[int, str]]:
+        out = {}
+        proj_dir = self.root / "projects"
+        if proj_dir.is_dir():
+            for p in sorted(proj_dir.iterdir(),
+                            key=lambda q: int(q.name) if q.name.isdigit() else 0):
+                meta = self._read_json(p / "meta.json", {})
+                out[int(p.name)] = meta.get("name", p.name)
+        # projects referenced only by datasets (created elsewhere) still list
+        for p in sorted((self.root / "datasets").iterdir(),
+                        key=lambda q: int(q.name) if q.name.isdigit() else 0):
+            meta = self._read_json(p / "meta.json", {})
+            pid = meta.get("project_id", -1)
+            if pid is not None and pid >= 0 and pid not in out:
+                out[pid] = str(pid)
+        return sorted(out.items())
 
     def image_group(self, image_id: int) -> int:
         meta = self._read_json(self._img_dir(image_id) / "meta.json", {})
@@ -510,6 +540,12 @@ class OmeroStore(ImageStore):
         if project is None:
             raise KeyError(f"project {project_id} not found")
         return [int(ds.getId()) for ds in project.listChildren()]
+
+    @_with_reconnect
+    def list_projects(self) -> List[Tuple[int, str]]:
+        # reference project-selection dialogs browse by name (gui:1658-1797)
+        return sorted((int(p.getId()), str(p.getName()))
+                      for p in self._conn.getObjects("Project"))
 
     def _dataset(self, dataset_id: int):
         ds = self._conn.getObject("Dataset", dataset_id)

@@ -23,11 +23,13 @@ from PyQt5.QtWidgets import (
     QApplication,
     QCheckBox,
     QComboBox,
+    QDoubleSpinBox,
     QFileDialog,
     QGridLayout,
     QHBoxLayout,
     QLabel,
     QLineEdit,
+    QListWidget,
     QMainWindow,
     QMessageBox,
     QProgressBar,
@@ -198,10 +200,15 @@ class MicrobeSegMainWindow(QMainWindow):
         # overwrite existing inference results (reference inference menu)
         self.overwrite_checkbox = QCheckBox("Overwrite")
         layout.addWidget(self.overwrite_checkbox, set_row, 6)
+        # upload results to the store as ROIs (reference upload checkbox,
+        # gui:431-432, default checked)
+        self.upload_checkbox = QCheckBox("Upload")
+        self.upload_checkbox.setChecked(True)
+        layout.addWidget(self.upload_checkbox, set_row, 5)
         # evaluation scope (reference eval menu model list with select-all /
         # per-model selection, gui:1039-1121)
         self.eval_scope_combo = QComboBox()
-        self.eval_scope_combo.addItems(["all models", "selected model"])
+        self.eval_scope_combo.addItems(["all models", "selected models"])
         layout.addWidget(self.eval_scope_combo, set_row, 7)
         layout.addWidget(QLabel("Add to:"), set_row + 1, 5)
         self.split_combo = QComboBox()
@@ -233,7 +240,56 @@ class MicrobeSegMainWindow(QMainWindow):
         # (reference get_trained_models, microbe_seg_gui.py:1273-1299)
         layout.addWidget(QLabel("Model:"), 1, 4)
         self.model_box = QComboBox()
+        self.model_box.currentIndexChanged.connect(self.on_model_selected)
         layout.addWidget(self.model_box, 1, 5, 1, 3)
+
+        # named project browsing (reference project-selection dialogs list
+        # projects BY NAME, gui:1658-1797)
+        self.projects_button = QPushButton("Project(s)")
+        self.projects_button.clicked.connect(self.on_browse_projects)
+        layout.addWidget(self.projects_button, 2, 4)
+        self.project_combo = QComboBox()
+        self.project_combo.currentIndexChanged.connect(
+            self.on_project_selected)
+        layout.addWidget(self.project_combo, 2, 5)
+
+        # inference settings (reference: per-model best eval thresholds or
+        # the [0.10, 0.45] defaults, gui:1438-1445; sliding-window checkbox
+        # gui:434 — hidden there because unimplemented, functional here;
+        # CLAHE/scale from the inference pre-processing transforms,
+        # inference_dataset.py:43-140)
+        layout.addWidget(QLabel("th_cell:"), 2, 6)
+        self.th_cell_box = QDoubleSpinBox()
+        self.th_cell_box.setRange(0.0, 1.0)
+        self.th_cell_box.setSingleStep(0.005)
+        self.th_cell_box.setDecimals(3)
+        self.th_cell_box.setValue(0.10)
+        layout.addWidget(self.th_cell_box, 2, 7)
+        layout.addWidget(QLabel("th_seed:"), 3, 3)
+        self.th_seed_box = QDoubleSpinBox()
+        self.th_seed_box.setRange(0.0, 1.0)
+        self.th_seed_box.setSingleStep(0.005)
+        self.th_seed_box.setDecimals(3)
+        self.th_seed_box.setValue(0.45)
+        layout.addWidget(self.th_seed_box, 3, 4)
+        self.sliding_checkbox = QCheckBox("Sliding window")
+        layout.addWidget(self.sliding_checkbox, 3, 5)
+        self.clahe_checkbox = QCheckBox("CLAHE")
+        layout.addWidget(self.clahe_checkbox, 3, 6)
+        self.scale_box = QDoubleSpinBox()
+        self.scale_box.setRange(0.1, 1.0)
+        self.scale_box.setSingleStep(0.05)
+        self.scale_box.setDecimals(2)
+        self.scale_box.setValue(1.0)
+        self.scale_box.setToolTip("Inference scale factor (downscale "
+                                  "before the forward pass)")
+        layout.addWidget(self.scale_box, 3, 7)
+
+        # per-model evaluation multi-select (reference eval model list,
+        # gui:1039-1121)
+        self.eval_model_list = QListWidget()
+        self.eval_model_list.setSelectionMode(QListWidget.ExtendedSelection)
+        layout.addWidget(self.eval_model_list, 4, 6, 2, 2)
 
         # workflow buttons
         buttons = [
@@ -389,6 +445,28 @@ class MicrobeSegMainWindow(QMainWindow):
             self.dataset_box.setValue(ids[idx])
             self.trainset_box.setValue(ids[idx])
 
+    def on_browse_projects(self):
+        """List the store's projects by name (reference selection dialogs,
+        gui:1658-1797); picking one scopes dataset browsing to it."""
+        try:
+            projects = self.store.list_projects()
+        except Exception as exc:
+            self.log.append(f"Error: {exc}")
+            return
+        self._projects = projects
+        self.project_combo.clear()
+        self.project_combo.addItems(
+            [f"{pid}: {name}" for pid, name in projects])
+        if projects:
+            self.project_combo.setCurrentIndex(0)
+        else:
+            self.log.append("No projects found.")
+
+    def on_project_selected(self, idx: int):
+        projects = getattr(self, "_projects", [])
+        if 0 <= idx < len(projects):
+            self.project_box.setValue(projects[idx][0])
+
     def on_add_trainset(self):
         """Create a new trainset dataset (reference 'Training set' + Add,
         gui:1879-1991)."""
@@ -486,6 +564,10 @@ class MicrobeSegMainWindow(QMainWindow):
         self._models = self.get_trained_models()
         self.model_box.clear()
         self.model_box.addItems([label for label, _ in self._models])
+        # the eval menu offers the same models as a multi-select list
+        # (reference gui:1039-1121)
+        self.eval_model_list.clear()
+        self.eval_model_list.addItems([label for label, _ in self._models])
 
     def _selected_model(self):
         models = getattr(self, "_models", None) or self.get_trained_models()
@@ -493,6 +575,31 @@ class MicrobeSegMainWindow(QMainWindow):
             return None
         idx = max(self.model_box.currentIndex(), 0)
         return models[min(idx, len(models) - 1)][1]
+
+    def on_model_selected(self, idx: int):
+        """Prefill th_cell/th_seed with the model's best evaluation
+        thresholds from the aggregated csv, else the [0.10, 0.45] defaults
+        (reference gui:1438-1445)."""
+        ckpt = self._selected_model()
+        th_cell, th_seed = 0.10, 0.45
+        if ckpt is not None:
+            try:
+                import pandas as pd
+
+                trainset = self.store.dataset_name(
+                    int(self.trainset_box.value()))
+                agg = self.eval_results_path / f"{trainset}.csv"
+                if agg.is_file():
+                    df = pd.read_csv(agg)
+                    row = df[df["model"].astype(str).str.endswith(
+                        f": {ckpt.stem}")]
+                    if len(row):
+                        th_cell = float(row["th_cell"].values[0])
+                        th_seed = float(row["th_seed"].values[0])
+            except Exception:
+                pass
+        self.th_cell_box.setValue(th_cell)
+        self.th_seed_box.setValue(th_seed)
 
     # ------------------------------------------------------------------
     # workflows
@@ -582,25 +689,52 @@ class MicrobeSegMainWindow(QMainWindow):
         self._run_worker(pipeline)
 
     def on_evaluate(self):
+        """Export the test set from the store, THEN evaluate — one chained
+        job, like the reference's eval button wiring (gui:1062-1092 starts
+        the eval thread from export_thread.finished)."""
+        from microbeseg_tpu.client.workers import export_trainset
         from microbeseg_tpu.evaluation.evaluator import Evaluator
 
         trainset = self.store.dataset_name(int(self.trainset_box.value()))
-        if self.eval_scope_combo.currentText() == "selected model":
-            ckpt = self._selected_model()
-            models = [ckpt] if ckpt is not None else []
+        if self.eval_scope_combo.currentText() == "selected models":
+            selected = {it.text()
+                        for it in self.eval_model_list.selectedItems()}
+            models = [ckpt for label, ckpt in
+                      getattr(self, "_models", []) if label in selected]
+            if not models:
+                self.log.append("Select at least one model for evaluation!")
+                return
         else:
             models = sorted((self.model_path / trainset).glob("*.ckpt"))
         if not models:
             self.log.append("No models found.")
             return
+        trainset_id = int(self.trainset_box.value())
 
         def job(text_output, progress, should_stop):
+            export_trainset(self.store, trainset_id, self.training_data_path,
+                            text_output=text_output, progress=progress,
+                            should_stop=should_stop)
+            if should_stop():
+                return None
             ev = Evaluator(text_output=text_output, progress=progress,
                            should_stop=should_stop)
             return ev.evaluate(self.training_data_path / trainset,
                                self.eval_results_path / trainset, models)
 
         self._run_worker(job, on_done=lambda _: self.refresh_model_list())
+
+    def _infer_config(self):
+        """InferConfig from the settings widgets (thresholds, sliding
+        window, CLAHE, scale factor)."""
+        from microbeseg_tpu.config import InferConfig
+
+        return InferConfig(
+            th_cell=float(self.th_cell_box.value()),
+            th_seed=float(self.th_seed_box.value()),
+            apply_clahe=self.clahe_checkbox.isChecked(),
+            scale_factor=float(self.scale_box.value()),
+            use_tiling=self.sliding_checkbox.isChecked())
 
     def on_inference(self):
         from microbeseg_tpu.client.workers import infer_dataset
@@ -610,13 +744,14 @@ class MicrobeSegMainWindow(QMainWindow):
         if ckpt is None:
             self.log.append("No models found.")
             return
-        engine = InferenceEngine.from_checkpoint(ckpt)
+        engine = InferenceEngine.from_checkpoint(ckpt, cfg=self._infer_config())
         ids = [r.image_id for r in
                self.store.list_images(int(self.dataset_box.value()))]
 
         def job(text_output, progress, should_stop):
             return infer_dataset(self.store, ids, engine,
                                  model_name=ckpt.stem,
+                                 upload=self.upload_checkbox.isChecked(),
                                  overwrite=self.overwrite_checkbox.isChecked(),
                                  result_dir=self.inference_results_path,
                                  channel=int(self.channel_box.value()),

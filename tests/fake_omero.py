@@ -265,6 +265,12 @@ class _ProjectWrapper:
         self._conn = conn
         self._pid = pid
 
+    def getId(self):
+        return self._pid
+
+    def getName(self):
+        return self._conn._server.projects[self._pid]["name"]
+
     def listChildren(self):
         self._conn._check_alive()
         for did, rec in sorted(self._conn._server.datasets.items()):
@@ -351,6 +357,13 @@ class FakeBlitzGateway:
         if kind == "Project":
             return (_ProjectWrapper(self, oid)
                     if oid in server.projects else None)
+        raise TypeError(f"unsupported kind {kind}")
+
+    def getObjects(self, kind):
+        self._check_alive()
+        if kind == "Project":
+            return [_ProjectWrapper(self, pid)
+                    for pid in sorted(self._server.projects)]
         raise TypeError(f"unsupported kind {kind}")
 
     def createImageFromNumpySeq(self, planes, name, sizeZ=1, sizeC=1,

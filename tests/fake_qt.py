@@ -271,6 +271,77 @@ class QSpinBox(_Widget):
         return self._value
 
 
+class QDoubleSpinBox(_Widget):
+    def __init__(self):
+        super().__init__()
+        self._value = 0.0
+        self._min, self._max = 0.0, 99.0
+
+    def setRange(self, lo, hi):
+        self._min, self._max = lo, hi
+        self._value = max(self._value, lo)
+
+    def setSingleStep(self, s):
+        self._step = s
+
+    def setDecimals(self, d):
+        self._decimals = d
+
+    def setValue(self, v):
+        self._value = float(v)
+
+    def value(self):
+        return self._value
+
+
+class QListWidgetItem:
+    def __init__(self, text):
+        self._text = text
+        self._selected = False
+
+    def text(self):
+        return self._text
+
+    def setSelected(self, v):
+        self._selected = bool(v)
+
+    def isSelected(self):
+        return self._selected
+
+
+class QListWidget(_Widget):
+    ExtendedSelection = 3
+    MultiSelection = 2
+
+    def __init__(self):
+        super().__init__()
+        self._items = []
+        self.itemSelectionChanged = BoundSignal()
+
+    def setSelectionMode(self, mode):
+        self._selection_mode = mode
+
+    def addItem(self, text):
+        self._items.append(QListWidgetItem(text)
+                           if isinstance(text, str) else text)
+
+    def addItems(self, items):
+        for t in items:
+            self.addItem(t)
+
+    def clear(self):
+        self._items = []
+
+    def count(self):
+        return len(self._items)
+
+    def item(self, i):
+        return self._items[i]
+
+    def selectedItems(self):
+        return [it for it in self._items if it.isSelected()]
+
+
 class QComboBox(_Widget):
     def __init__(self):
         super().__init__()
@@ -432,8 +503,9 @@ def install() -> None:
     qtgui.QPalette = QPalette
     qtgui.QPixmap = QPixmap
     qtwidgets = types.ModuleType("PyQt5.QtWidgets")
-    for cls in (QApplication, QCheckBox, QComboBox, QFileDialog, QGridLayout,
-                QHBoxLayout, QLabel, QLineEdit, QMainWindow, QMessageBox,
+    for cls in (QApplication, QCheckBox, QComboBox, QDoubleSpinBox,
+                QFileDialog, QGridLayout, QHBoxLayout, QLabel, QLineEdit,
+                QListWidget, QListWidgetItem, QMainWindow, QMessageBox,
                 QProgressBar, QPushButton, QShortcut, QSpinBox, QTextEdit,
                 QVBoxLayout, QWidget):
         setattr(qtwidgets, cls.__name__, cls)

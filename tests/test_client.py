@@ -231,13 +231,15 @@ class TestStoreContract:
     def test_projects_and_groups(self, any_store):
         store, server = any_store
         if server is None:
-            pid = 7
+            pid = store.create_project("proj")
         else:
             pid = server.create_project("proj")
         d1 = store.create_dataset("a", project_id=pid)
         d2 = store.create_dataset("b", project_id=pid)
         store.create_dataset("other")
         assert store.list_datasets(pid) == [d1, d2]
+        # named project browsing (reference gui:1658-1797)
+        assert (pid, "proj") in store.list_projects()
         iid = store.upload_image(d1, "x.tif", np.zeros((4, 4), np.uint16))
         assert store.image_group(iid) == 0
 

@@ -323,18 +323,19 @@ class TestGuiSmoke:
         assert opened[1].startswith(
             "http://tool.local/obiwan/login?u=alice&p=&r=omero-dashboard")
 
-    def test_eval_scope_selected_model(self, gui_app, tmp_path, rng,
-                                       monkeypatch):
-        """'selected model' scope evaluates only the model chosen in the
-        model list (reference eval-menu selection, gui:1039-1121)."""
+    def test_eval_scope_selected_models(self, gui_app, tmp_path, rng,
+                                        monkeypatch):
+        """'selected models' scope evaluates exactly the multi-selected
+        entries of the eval model list (reference eval-menu selection,
+        gui:1039-1121); empty selection raises the reference's message."""
         win, *_ = _window(gui_app, tmp_path, rng, with_data=False)
         models = tmp_path / "models" / "trainset64"
         models.mkdir(parents=True)
         (models / "distance_model_01.ckpt").write_bytes(b"x")
         (models / "distance_model_02.ckpt").write_bytes(b"x")
+        (models / "distance_model_03.ckpt").write_bytes(b"x")
         win.refresh_model_list()
-        win.model_box.setCurrentIndex(1)
-        win.eval_scope_combo.setCurrentIndex(1)  # selected model
+        win.eval_scope_combo.setCurrentIndex(1)  # selected models
 
         seen = []
 
@@ -349,8 +350,128 @@ class TestGuiSmoke:
                 return None
 
         monkeypatch.setattr(ev_mod, "Evaluator", FakeEvaluator)
+        # no selection -> reference's model-selection message, no eval
         win.buttons["Evaluate"].click()
-        assert [m.name for m in seen] == ["distance_model_02.ckpt"]
+        assert "Select at least one model" in win.log.toPlainText()
+        assert seen == []
+        # multi-select two of the three models
+        win.eval_model_list.item(0).setSelected(True)
+        win.eval_model_list.item(2).setSelected(True)
+        win.buttons["Evaluate"].click()
+        assert sorted(m.name for m in seen) == [
+            "distance_model_01.ckpt", "distance_model_03.ckpt"]
+
+    def test_eval_exports_testset_first(self, gui_app, tmp_path, rng,
+                                        monkeypatch):
+        """The eval button chains export -> evaluate (reference gui wiring
+        starts the eval thread from export_thread.finished, :1062-1092):
+        the trainset is on the store only, yet evaluation sees exported
+        files on disk."""
+        from pathlib import Path
+
+        win, store, eid, tid = _window(gui_app, tmp_path, rng)
+        models = tmp_path / "models" / "trainset64"
+        models.mkdir(parents=True)
+        (models / "distance_model_01.ckpt").write_bytes(b"x")
+        win.refresh_model_list()
+
+        exported_at_eval = []
+
+        from microbeseg_tpu.evaluation import evaluator as ev_mod
+
+        class FakeEvaluator:
+            def __init__(self, **kw):
+                pass
+
+            def evaluate(self, data_dir, results_dir, models):
+                exported_at_eval.append(
+                    len(list(Path(data_dir).glob("*/img_*.tif"))))
+                return None
+
+        monkeypatch.setattr(ev_mod, "Evaluator", FakeEvaluator)
+        win.buttons["Evaluate"].click()
+        assert exported_at_eval == [4]  # all 4 imported crops on disk
+
+    def test_inference_settings_reach_engine_and_worker(
+            self, gui_app, tmp_path, rng, monkeypatch):
+        """th_cell/th_seed, sliding window, CLAHE, scale and upload widgets
+        flow into InferConfig / infer_dataset kwargs."""
+        win, store, eid, tid = _window(gui_app, tmp_path, rng)
+        models = tmp_path / "models" / "trainset64"
+        models.mkdir(parents=True)
+        (models / "distance_model_01.ckpt").write_bytes(b"x")
+        win.refresh_model_list()
+        win.th_cell_box.setValue(0.075)
+        win.th_seed_box.setValue(0.35)
+        win.sliding_checkbox.setChecked(True)
+        win.clahe_checkbox.setChecked(True)
+        win.scale_box.setValue(0.5)
+        win.upload_checkbox.setChecked(False)
+
+        captured = {}
+
+        from microbeseg_tpu.inference import engine as eng_mod
+
+        class FakeEngine:
+            @classmethod
+            def from_checkpoint(cls, ckpt, cfg=None, mesh=None):
+                captured["cfg"] = cfg
+                return cls()
+
+        import microbeseg_tpu.client.workers as wk
+
+        def fake_infer(store_, ids, engine, **kw):
+            captured["kwargs"] = kw
+
+        monkeypatch.setattr(eng_mod, "InferenceEngine", FakeEngine)
+        monkeypatch.setattr(wk, "infer_dataset", fake_infer)
+        win.buttons["Inference"].click()
+        cfg = captured["cfg"]
+        assert (cfg.th_cell, cfg.th_seed) == (0.075, 0.35)
+        assert cfg.use_tiling and cfg.apply_clahe
+        assert cfg.scale_factor == 0.5
+        assert captured["kwargs"]["upload"] is False
+
+    def test_model_selection_prefills_best_thresholds(
+            self, gui_app, tmp_path, rng):
+        """Selecting a model with evaluation scores prefills its best
+        thresholds (reference gui:1438-1445); unscored models keep the
+        [0.10, 0.45] defaults."""
+        win, *_ = _window(gui_app, tmp_path, rng, with_data=False)
+        models = tmp_path / "models" / "trainset64"
+        models.mkdir(parents=True)
+        (models / "distance_model_01.ckpt").write_bytes(b"x")
+        (models / "distance_model_02.ckpt").write_bytes(b"x")
+        ev = tmp_path / "evaluation"
+        ev.mkdir(exist_ok=True)
+        (ev / "trainset64.csv").write_text(
+            "model,th_cell,th_seed,aji+ (mean),aji+ (std)\n"
+            "trainset64: distance_model_01,0.125,0.35,0.91,0.01\n")
+        win.refresh_model_list()
+        win.model_box.setCurrentIndex(0)  # scored model
+        assert (win.th_cell_box.value(), win.th_seed_box.value()) == (0.125,
+                                                                      0.35)
+        win.model_box.setCurrentIndex(1)  # unscored -> defaults
+        assert (win.th_cell_box.value(), win.th_seed_box.value()) == (0.10,
+                                                                      0.45)
+
+    def test_project_browsing_by_name(self, gui_app, tmp_path, rng):
+        """'Project(s)' lists projects by name (reference gui:1658-1797);
+        picking one scopes the dataset browse."""
+        win, store, *_ = _window(gui_app, tmp_path, rng, with_data=False)
+        pid = store.create_project("wetlab-2026")
+        did = store.create_dataset("expA", project_id=pid)
+        win.projects_button.click()
+        assert f"{pid}: wetlab-2026" in [
+            win.project_combo.itemText(i)
+            for i in range(win.project_combo.count())]
+        win.project_combo.setCurrentIndex(
+            [win.project_combo.itemText(i)
+             for i in range(win.project_combo.count())].index(
+                 f"{pid}: wetlab-2026"))
+        assert int(win.project_box.value()) == pid
+        win.browse_button.click()
+        assert int(win.dataset_box.value()) == did
 
     def test_stop_shortcut(self, gui_app, tmp_path, rng):
         win, *_ = _window(gui_app, tmp_path, rng, with_data=False)
