@@ -19,9 +19,11 @@ inputs (its flood/convergence loops are content-dependent).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
-The denominator 20 crops/s is a documented estimate of the reference
-pipeline on a single modern GPU: ~25 ms DUNet batch-1 forward + ~25 ms CPU
-watershed post-processing per 256^2 crop.
+The denominator is the reference pipeline's per-crop time = ~25 ms GPU
+batch-1 DUNet forward (documented estimate; no CUDA GPU here to measure)
++ its CPU watershed post-processing MEASURED on this host via the
+golden-tested oracle — the "baseline_basis" field in the output records
+both numbers and which is measured vs estimated.
 """
 
 import json
@@ -46,9 +48,41 @@ if "--mesh" in sys.argv:
 import jax.numpy as jnp
 import numpy as np
 
-REFERENCE_CROPS_PER_SEC_EST = 20.0
 SIZE = 256
 BATCH = 16  # the engine's default device batch (InferConfig.batch_size)
+
+# The reference's GPU batch-1 DUNet forward is not measurable here (no CUDA
+# GPU in this environment); ~25 ms/crop on a single modern GPU remains a
+# documented estimate.  Its CPU watershed stage IS measured on this host —
+# see _baseline_basis().
+REFERENCE_GPU_FWD_MS_EST = 25.0
+
+
+def _baseline_basis(borders_np, cells_np):
+    """Measure the reference pipeline's CPU-side post-processing on THIS
+    host so the speedup denominator is at least partially measured (VERDICT
+    r2 item 5): tests/oracles.py::distance_postprocessing_oracle is the
+    scipy/numpy re-implementation of reference postprocessing.py:7-59
+    (gaussian -> seeds -> skimage-semantics heap watershed), golden-tested
+    for parity.  The forward stage stays a documented GPU estimate."""
+    from tests.oracles import distance_postprocessing_oracle
+
+    times = []
+    for b, c in zip(borders_np[:4], cells_np[:4]):
+        t0 = time.perf_counter()
+        distance_postprocessing_oracle(np.asarray(b), np.asarray(c),
+                                       0.45, 0.10)
+        times.append(time.perf_counter() - t0)
+    post_ms = 1e3 * float(np.median(times))
+    per_crop_ms = REFERENCE_GPU_FWD_MS_EST + post_ms
+    return {
+        "ref_crops_per_sec": round(1e3 / per_crop_ms, 2),
+        "gpu_fwd_ms_estimated": REFERENCE_GPU_FWD_MS_EST,
+        "cpu_postproc_ms_measured_this_host": round(post_ms, 2),
+        "note": "reference pipeline is sequential batch-1 fwd + CPU "
+                "watershed per crop (infer.py:328-376); postproc measured "
+                "via the golden-tested oracle on this host's CPU",
+    }
 
 
 def _random_variables(model, images):
@@ -295,11 +329,13 @@ def main():
         train_ms = _train_slope_ms(model, images)
         print(f"# train {train_ms:.3f} ms/crop "
               f"({1e3 / train_ms:.1f} crops/s/chip)", file=sys.stderr)
+    basis = _baseline_basis(borders_np, cells_np)
     print(json.dumps({
         "metric": "256^2 crops/sec/chip (DUNet fwd + on-device watershed postproc)",
         "value": round(crops_per_sec, 2),
         "unit": "crops/s",
-        "vs_baseline": round(crops_per_sec / REFERENCE_CROPS_PER_SEC_EST, 2),
+        "vs_baseline": round(crops_per_sec / basis["ref_crops_per_sec"], 2),
+        "baseline_basis": basis,
     }))
 
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from microbeseg_tpu.config import InferConfig, PAD_BUCKETS
-from microbeseg_tpu.inference.tiling import extract_tiles, stitch_predictions
+from microbeseg_tpu.inference.tiling import extract_tiles, stitch_tiles_device
 from microbeseg_tpu.models.io import load_model
 from microbeseg_tpu.ops.augment import clahe
 from microbeseg_tpu.ops.postprocessing import (
@@ -114,11 +114,11 @@ class InferenceEngine:
             self._post_cache["clahe"] = fn
         return fn
 
-    def _rescale(self, arrays: np.ndarray, out_hw: Tuple[int, int],
-                 method: str) -> np.ndarray:
-        """Spatial resize of a (T, H, W[, C]) batch on device."""
+    def _rescale(self, arrays: jnp.ndarray, out_hw: Tuple[int, int],
+                 method: str) -> jnp.ndarray:
+        """Spatial resize of a (T, H, W[, C]) batch, on device."""
         shape = (arrays.shape[0],) + tuple(out_hw) + arrays.shape[3:]
-        return np.asarray(jax.image.resize(jnp.asarray(arrays), shape, method))
+        return jax.image.resize(jnp.asarray(arrays), shape, method)
 
     def predict_raw(self, frames: np.ndarray) -> Tuple[np.ndarray, ...]:
         """CNN predictions for a (T, H, W) stack (or (1, H, W) single frame).
@@ -130,6 +130,14 @@ class InferenceEngine:
         src/inference/inference_dataset.py:107-126, order-2 interpolation) and
         upscales the float predictions back before post-processing.
         """
+        return tuple(np.asarray(p) for p in self._predict_raw_dev(frames))
+
+    def _predict_raw_dev(self, frames: np.ndarray) -> Tuple[jnp.ndarray, ...]:
+        """``predict_raw`` with DEVICE-RESIDENT outputs: segment() feeds
+        them straight into on-device post-processing, so predictions never
+        bounce to the host between stages (each bounce costs a full-frame
+        transfer over the ~25 ms tunnel — at 2048^2+ transfers, not compute,
+        dominated the round-2 tiled path)."""
         frames = np.asarray(frames)
         if frames.ndim == 2:
             frames = frames[None]
@@ -139,14 +147,15 @@ class InferenceEngine:
         if scale < 1:
             sh = max(int(round(H0 * scale)), 1)
             sw = max(int(round(W0 * scale)), 1)
-            norm = self._rescale(norm, (sh, sw), "cubic")
+            norm = np.asarray(self._rescale(norm, (sh, sw), "cubic"))
         preds = self._predict_normalized(norm)
         if scale < 1:
             preds = tuple(self._rescale(p, (H0, W0), "linear") for p in preds)
         return preds
 
-    def _predict_normalized(self, norm: np.ndarray) -> Tuple[np.ndarray, ...]:
-        """Forward pass on already-normalized (T, H, W) frames."""
+    def _predict_normalized(self, norm: np.ndarray) -> Tuple[jnp.ndarray, ...]:
+        """Forward pass on already-normalized (T, H, W) frames; outputs stay
+        on device."""
         T, H, W = norm.shape
         try:
             th, tw = pad_bucket_shape(H, W)
@@ -174,20 +183,22 @@ class InferenceEngine:
         for s in range(0, padded.shape[0], bs):
             chunk = jnp.asarray(padded[s:s + bs][..., None])
             try:
-                outs.append(jax.device_get(fwd(chunk)))
+                out = fwd(chunk)
+                jax.block_until_ready(out)  # surface OOM at this chunk
+                outs.append(out)
             except Exception as exc:  # OOM fallback: zero predictions for
                 # the chunk (reference returns an all-zero mask per frame,
                 # infer.py:353-356, infer_script_local.py:136-140)
                 if "RESOURCE_EXHAUSTED" not in str(exc):
                     raise
-                zero = np.zeros((bs, H, W), np.float32)
+                zero = jnp.zeros((bs, H, W), jnp.float32)
                 outs.append((zero, zero) if self.label_type == "distance"
-                            else np.zeros((bs, H, W, 3), np.float32))
+                            else jnp.zeros((bs, H, W, 3), jnp.float32))
         if self.label_type == "distance":
-            border = np.concatenate([o[0] for o in outs])[:T]
-            cell = np.concatenate([o[1] for o in outs])[:T]
+            border = jnp.concatenate([o[0] for o in outs])[:T]
+            cell = jnp.concatenate([o[1] for o in outs])[:T]
             return border, cell
-        probs = np.concatenate(outs)[:T]
+        probs = jnp.concatenate(outs)[:T]
         return (probs,)
 
 
@@ -202,10 +213,16 @@ class InferenceEngine:
         return max(1, min(self.cfg.batch_size,
                           (self.cfg.batch_size * 2 * 256 * 256) // area))
 
-    def _predict_tiled(self, norm_frames: np.ndarray) -> Tuple[np.ndarray, ...]:
+    def _predict_tiled(self, norm_frames: np.ndarray) -> Tuple[jnp.ndarray, ...]:
         """Sliding-window path for images beyond the pad-bucket table.
 
-        ``norm_frames`` are already normalized to [-1, 1]."""
+        ``norm_frames`` are already normalized to [-1, 1].  Fully
+        device-resident: tiles upload once (chunked), predictions stay on
+        device, stitching is a scan of row-granular dynamic-slice updates,
+        and the stitched maps feed post-processing without a host bounce —
+        the round-2 version fetched per-tile predictions and stitched in
+        float64 numpy on the 1-core host, which made 2048^2+ frames
+        transfer-bound over the tunnel."""
         tile = self.cfg.tile_size
         overlap = self.cfg.tile_overlap
         T, H, W = norm_frames.shape
@@ -218,12 +235,11 @@ class InferenceEngine:
         # collect tiles across ALL frames so the device sees full batches
         # regardless of per-frame tile counts (the spatial tiles ride the
         # batch axis, which is also the mesh-sharded axis)
-        all_tiles, all_pos, frame_of = [], [], []
+        all_tiles, all_pos = [], []
         for t in range(T):
-            tiles, pos = extract_tiles(norm_frames[t], tile, overlap)
-            all_tiles.append(tiles)
+            frame_tiles, pos = extract_tiles(norm_frames[t], tile, overlap)
+            all_tiles.append(frame_tiles)
             all_pos.extend(pos)
-            frame_of.extend([t] * len(pos))
         tiles = np.concatenate(all_tiles)
         n = tiles.shape[0]
         n_pad = (-n) % bs
@@ -233,29 +249,28 @@ class InferenceEngine:
         preds = []
         for s in range(0, tiles.shape[0], bs):
             chunk = jnp.asarray(tiles[s:s + bs][..., None])
-            preds.append(jax.device_get(fwd(chunk)))
+            preds.append(fwd(chunk))
 
-        frame_of = np.asarray(frame_of)
+        # every frame has the same (H, W), hence the same tile layout: the
+        # flat tile axis reshapes to (T, tiles_per_frame, tile, tile) and
+        # stitching runs on device, vmapped over frames
+        per_frame = len(all_pos) // T
+        pos_t = all_pos[:per_frame]
         if self.label_type == "distance":
-            border_all = np.concatenate([p[0] for p in preds])[:n]
-            cell_all = np.concatenate([p[1] for p in preds])[:n]
-            borders = np.empty((T, H, W), np.float32)
-            cells = np.empty((T, H, W), np.float32)
-            for t in range(T):
-                sel = frame_of == t
-                pos_t = [p for p, m in zip(all_pos, sel) if m]
-                borders[t] = stitch_predictions(border_all[sel], pos_t, (H, W))
-                cells[t] = stitch_predictions(cell_all[sel], pos_t, (H, W))
+            border_all = jnp.concatenate([p[0] for p in preds])[:n]
+            cell_all = jnp.concatenate([p[1] for p in preds])[:n]
+            borders = stitch_tiles_device(
+                border_all.reshape(T, per_frame, tile, tile), pos_t, (H, W))
+            cells = stitch_tiles_device(
+                cell_all.reshape(T, per_frame, tile, tile), pos_t, (H, W))
             return borders, cells
-        probs_all = np.concatenate(preds)[:n]
-        probs_out = np.empty((T, H, W, 3), np.float32)
-        for t in range(T):
-            sel = frame_of == t
-            pos_t = [p for p, m in zip(all_pos, sel) if m]
-            for c in range(3):
-                probs_out[t, ..., c] = stitch_predictions(
-                    probs_all[sel][..., c], pos_t, (H, W))
-        return (probs_out,)
+        probs_all = jnp.concatenate(preds)[:n]
+        # channels ride the stitch batch axis: (T*3, n, tile, tile)
+        chan_major = jnp.moveaxis(
+            probs_all.reshape(T, per_frame, tile, tile, 3), -1, 1)
+        stitched = stitch_tiles_device(
+            chan_major.reshape(T * 3, per_frame, tile, tile), pos_t, (H, W))
+        return (jnp.moveaxis(stitched.reshape(T, 3, H, W), 1, -1),)
 
     # ------------------------------------------------------------------
 
@@ -270,7 +285,9 @@ class InferenceEngine:
         th_cell = self.cfg.th_cell if th_cell is None else th_cell
         th_seed = self.cfg.th_seed if th_seed is None else th_seed
 
-        preds = self.predict_raw(frames)
+        # device-resident predictions: forward/stitch outputs feed the
+        # on-device post-processing directly, only uint16 masks come home
+        preds = self._predict_raw_dev(frames)
         T = frames.shape[0]
         masks = np.empty(frames.shape, np.uint16)
         bs = self._device_batch(frames.shape[1], frames.shape[2])
@@ -281,9 +298,9 @@ class InferenceEngine:
             # instead of an extra compile for the ragged tail chunk
             if chunk.shape[0] == bs or T <= bs:
                 return chunk
-            return np.concatenate(
-                [chunk, np.zeros((bs - chunk.shape[0],) + chunk.shape[1:],
-                                 chunk.dtype)])
+            return jnp.concatenate(
+                [chunk, jnp.zeros((bs - chunk.shape[0],) + chunk.shape[1:],
+                                  chunk.dtype)])
 
         if self.label_type == "distance":
             border, cell = preds
@@ -291,8 +308,8 @@ class InferenceEngine:
             tc = jnp.float32(th_cell)
             for s in range(0, T, bs):
                 n = min(bs, T - s)
-                chunk_b = jnp.asarray(pad_tail(border[s:s + bs]))
-                chunk_c = jnp.asarray(pad_tail(cell[s:s + bs]))
+                chunk_b = pad_tail(border[s:s + bs])
+                chunk_c = pad_tail(cell[s:s + bs])
                 masks[s:s + n] = np.asarray(
                     post(chunk_b, chunk_c, ts, tc))[:n]
         else:
@@ -300,7 +317,7 @@ class InferenceEngine:
             for s in range(0, T, bs):
                 n = min(bs, T - s)
                 masks[s:s + n] = np.asarray(
-                    post(jnp.asarray(pad_tail(probs[s:s + bs]))))[:n]
+                    post(pad_tail(probs[s:s + bs])))[:n]
         return masks[0] if squeeze else masks
 
     def _post_fn(self):
@@ -324,8 +341,7 @@ class InferenceEngine:
                      th_pairs) -> np.ndarray:
         """Threshold-grid segmentation of one frame: (n, H, W) uint16
         (device-parallel over the grid; used by evaluation)."""
-        preds = self.predict_raw(frame[None])
-        border, cell = preds
+        border, cell = self._predict_raw_dev(frame[None])
         return np.asarray(distance_postprocessing_grid(
-            jnp.asarray(border[0]), jnp.asarray(cell[0]),
+            border[0], cell[0],
             jnp.asarray(th_pairs, jnp.float32), max_seeds=self.max_seeds))

@@ -231,3 +231,35 @@ class TestShardedEngine:
         x01 = (frames[3].astype(np.float32) - frames[3].min()) / (
             frames[3].max() - frames[3].min())
         np.testing.assert_allclose(cell[3], x01, atol=1e-4)
+
+
+class TestDeviceStitching:
+    def test_device_stitch_matches_host_reference(self, rng):
+        """stitch_predictions_batch (device scan + dynamic-slice accumulate)
+        vs the host-side float64 reference implementation."""
+        from microbeseg_tpu.inference.tiling import (extract_tiles,
+                                                     stitch_predictions,
+                                                     stitch_predictions_batch)
+
+        img = rng.standard_normal((150, 200)).astype(np.float32)
+        tiles, pos = extract_tiles(img, 64, 16)
+        host = stitch_predictions(tiles, pos, img.shape)
+        dev = stitch_predictions_batch(tiles[None], pos, img.shape)[0]
+        np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-5)
+        # feathered stitch of tiles from one image reproduces the image
+        np.testing.assert_allclose(dev, img, rtol=1e-5, atol=1e-5)
+
+    def test_batch_chunking(self, rng):
+        """Chunked accumulation (max_bytes small enough to force several
+        device calls) is identical to one-shot stitching."""
+        from microbeseg_tpu.inference.tiling import (extract_tiles,
+                                                     stitch_predictions_batch)
+
+        frames = rng.standard_normal((5, 96, 130)).astype(np.float32)
+        tiles, pos = zip(*[extract_tiles(f, 64, 16) for f in frames])
+        batch = np.stack(tiles)
+        full = stitch_predictions_batch(batch, pos[0], frames.shape[1:])
+        chunked = stitch_predictions_batch(batch, pos[0], frames.shape[1:],
+                                           max_bytes=batch[0].nbytes + 96 * 130 * 4)
+        np.testing.assert_allclose(chunked, full, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(full, frames, rtol=1e-5, atol=1e-5)
