@@ -51,8 +51,10 @@ from microbeseg_tpu.utils.tiff import imwrite
 
 
 def synth_frame(rng, size, density=1.0):
-    """Synthetic microscopy frame + ground-truth instance mask."""
-    yy, xx = np.mgrid[0:size, 0:size]
+    """Synthetic microscopy frame + ground-truth instance mask.
+
+    Each blob only touches its local window (the naive full-frame version is
+    O(n_blobs * size^2) — minutes per 2048^2 frame on this 1-core host)."""
     mask = np.zeros((size, size), np.uint16)
     img = rng.normal(6000, 300, (size, size))
     n_blobs = int(density * 10 * (size / 128) ** 2)
@@ -61,13 +63,18 @@ def synth_frame(rng, size, density=1.0):
         ry, rx = rng.integers(6, 14, 2)
         cy = rng.integers(ry + 2, size - ry - 2)
         cx = rng.integers(rx + 2, size - rx - 2)
-        blob = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1
-        if (mask[blob] > 0).mean() > 0.2:
+        y0, y1 = cy - ry, cy + ry + 1
+        x0, x1 = cx - rx, cx + rx + 1
+        yy, xx = np.mgrid[y0:y1, x0:x1]
+        d = np.sqrt(((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2)
+        blob = d <= 1
+        sub_mask = mask[y0:y1, x0:x1]
+        if (sub_mask[blob] > 0).mean() > 0.2:
             continue
         label += 1
-        mask[blob & (mask == 0)] = label
-        d = np.sqrt(((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2)
-        img += np.where(blob, 25000 * np.clip(1.2 - d, 0, 1.2), 0)
+        sub_mask[blob & (sub_mask == 0)] = label
+        img[y0:y1, x0:x1] += np.where(blob,
+                                      25000 * np.clip(1.2 - d, 0, 1.2), 0)
     img = img + rng.normal(0, 400, img.shape)
     img = (img - img.min()) / (img.max() - img.min()) * 65535
     return img.astype(np.uint16), mask
@@ -161,23 +168,26 @@ def main():
         for _, (iid, frame) in items:
             if accepted >= n_accept:
                 break
-            crops = gen.next_crops(iid, frame)
-            if not crops:
-                continue
-            crop = crops[int(rng.integers(len(crops)))]
-            subset = split_assignment(gen.split_info["num_acc"])
-            cid = gen.upload_crop(crop, trainset_id, subset)
-            # the ObiWan annotation step, simulated: ground-truth ROIs +
-            # last_modification (export skips uncorrected pre-labels)
-            m = gt[(iid, frame)][crop.y:crop.y + 256, crop.x:crop.x + 256]
-            store.delete_polygons(cid)
-            store.add_polygons(cid, _mask_to_rois(m))
-            store.set_map_annotation(cid, {"last_modification": timestamp()})
-            accepted += 1
+            # accept EVERY crop of the set (the reference's three
+            # accept-checkboxes allow the same, gui:2687-2725)
+            for crop in gen.next_crops(iid, frame):
+                if accepted >= n_accept:
+                    break
+                subset = split_assignment(gen.split_info["num_acc"])
+                cid = gen.upload_crop(crop, trainset_id, subset)
+                # the ObiWan annotation step, simulated: ground-truth ROIs +
+                # last_modification (export skips uncorrected pre-labels)
+                m = gt[(iid, frame)][crop.y:crop.y + 256,
+                                     crop.x:crop.x + 256]
+                store.delete_polygons(cid)
+                store.add_polygons(cid, _mask_to_rois(m))
+                store.set_map_annotation(cid,
+                                         {"last_modification": timestamp()})
+                accepted += 1
         return accepted
 
     n_acc = clock.stage("crop", do_crops, unit="crop", count=args.crops)
-    assert n_acc >= 10, f"only {n_acc} crops accepted"
+    assert n_acc >= min(args.crops, 10), f"only {n_acc} crops accepted"
 
     # ---- export + labels + train (train_script pipeline) ----------------
     train_dir = out / "training_dataset"

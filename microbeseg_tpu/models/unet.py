@@ -14,7 +14,7 @@ parallelism is a sharding of the batch axis, see microbeseg_tpu.parallel).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -35,6 +35,16 @@ def _level_features(filters: Tuple[int, int]) -> List[int]:
     return feats
 
 
+def _maybe_remat(cls, policy):
+    """Block-level rematerialization: with a jax.checkpoint policy set, the
+    block's intermediate activations are recomputed in the backward pass
+    instead of stored — trades FLOPs for HBM traffic (train-step knob;
+    argument 2 of __call__ is the static ``train`` flag)."""
+    if policy is None:
+        return cls
+    return nn.remat(cls, policy=policy, static_argnums=(2,))
+
+
 class _Encoder(nn.Module):
     filters: Tuple[int, int]
     act_fun: str
@@ -42,22 +52,24 @@ class _Encoder(nn.Module):
     normalization: str
     dtype: jnp.dtype
     axis_name: Optional[str] = None
+    remat_policy: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        CB = _maybe_remat(ConvBlock, self.remat_policy)
         feats = _level_features(self.filters)
         skips = []
         for i, f in enumerate(feats[:-1]):
-            x = ConvBlock(f, self.act_fun, self.normalization, self.dtype,
-                          self.axis_name, name=f"enc{i}")(x, train=train)
+            x = CB(f, self.act_fun, self.normalization, self.dtype,
+                   self.axis_name, name=f"enc{i}")(x, train)
             skips.append(x)
             if self.pool_method == "conv":
                 x = ConvPool(f, self.act_fun, self.normalization, self.dtype,
                              self.axis_name, name=f"pool{i}")(x, train=train)
             else:
                 x = max_pool_2x2(x)
-        x = ConvBlock(feats[-1], self.act_fun, self.normalization, self.dtype,
-                      self.axis_name, name=f"enc{len(feats) - 1}")(x, train=train)
+        x = CB(feats[-1], self.act_fun, self.normalization, self.dtype,
+               self.axis_name, name=f"enc{len(feats) - 1}")(x, train)
         return x, skips
 
 
@@ -68,16 +80,18 @@ class _Decoder(nn.Module):
     normalization: str
     dtype: jnp.dtype
     axis_name: Optional[str] = None
+    remat_policy: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, skips, train: bool = False):
+        CB = _maybe_remat(ConvBlock, self.remat_policy)
         feats = _level_features(self.filters)
         for i, f in enumerate(reversed(feats[:-1])):
             x = TranspConvBlock(f, self.normalization, self.dtype,
                                 self.axis_name, name=f"up{i}")(x, train=train)
             x = jnp.concatenate([x, skips[-(i + 1)]], axis=-1)
-            x = ConvBlock(f, self.act_fun, self.normalization, self.dtype,
-                          self.axis_name, name=f"dec{i}")(x, train=train)
+            x = CB(f, self.act_fun, self.normalization, self.dtype,
+                   self.axis_name, name=f"dec{i}")(x, train)
         x = nn.Conv(self.ch_out, kernel_size=(1, 1), use_bias=True,
                     dtype=self.dtype, param_dtype=jnp.float32, name="out")(x)
         return x.astype(jnp.float32)
@@ -94,15 +108,17 @@ class UNet(nn.Module):
     filters: Tuple[int, int] = (64, 1024)
     dtype: jnp.dtype = jnp.bfloat16
     axis_name: Optional[str] = None
+    remat_policy: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
         x, skips = _Encoder(self.filters, self.act_fun, self.pool_method,
                             self.normalization, self.dtype, self.axis_name,
-                            name="encoder")(x, train=train)
+                            self.remat_policy, name="encoder")(x, train=train)
         return _Decoder(self.filters, self.ch_out, self.act_fun,
                         self.normalization, self.dtype, self.axis_name,
+                        self.remat_policy,
                         name="decoder")(x, skips, train=train)
 
 
@@ -122,27 +138,33 @@ class DUNet(nn.Module):
     filters: Tuple[int, int] = (64, 1024)
     dtype: jnp.dtype = jnp.bfloat16
     axis_name: Optional[str] = None
+    remat_policy: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
         x, skips = _Encoder(self.filters, self.act_fun, self.pool_method,
                             self.normalization, self.dtype, self.axis_name,
-                            name="encoder")(x, train=train)
+                            self.remat_policy, name="encoder")(x, train=train)
         border = _Decoder(self.filters, self.ch_out, self.act_fun,
                           self.normalization, self.dtype, self.axis_name,
+                          self.remat_policy,
                           name="decoder1")(x, skips, train=train)
         cell = _Decoder(self.filters, 1, self.act_fun,
                         self.normalization, self.dtype, self.axis_name,
+                        self.remat_policy,
                         name="decoder2")(x, skips, train=train)
         return border, cell
 
 
 def build_unet(cfg: ModelConfig, dtype: jnp.dtype = jnp.bfloat16,
-               axis_name: Optional[str] = None):
-    """Model factory (reference: src/utils/unets.py:8-57)."""
+               axis_name: Optional[str] = None, remat_policy=None):
+    """Model factory (reference: src/utils/unets.py:8-57).
+
+    ``remat_policy``: optional jax.checkpoint policy for ConvBlock-level
+    rematerialization (identical numerics; train-step memory/speed knob)."""
     cls = DUNet if cfg.unet_type == "DU" else UNet
     return cls(ch_in=cfg.ch_in, ch_out=cfg.ch_out,
                pool_method=cfg.pool_method, act_fun=cfg.act_fun,
                normalization=cfg.normalization, filters=tuple(cfg.filters),
-               dtype=dtype, axis_name=axis_name)
+               dtype=dtype, axis_name=axis_name, remat_policy=remat_policy)

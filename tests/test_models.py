@@ -107,3 +107,39 @@ class TestCheckpointIO:
         leaves2 = jax.tree.leaves(back)
         for a, b in zip(leaves1, leaves2):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestRematVariant:
+    def test_remat_identical_forward_and_grads(self, rng):
+        """ConvBlock-level rematerialization (build_unet remat_policy) is a
+        pure memory/speed knob: forward outputs AND gradients must match the
+        plain model bit-for-bit (same params, same inputs)."""
+        import jax
+        import jax.numpy as jnp
+
+        from microbeseg_tpu.config import ModelConfig
+        from microbeseg_tpu.models.unet import build_unet
+
+        cfg = ModelConfig(filters=(8, 32), act_fun="mish",
+                          normalization="gn")
+        plain = build_unet(cfg, dtype=jnp.float32)
+        remat = build_unet(cfg, dtype=jnp.float32,
+                           remat_policy=jax.checkpoint_policies.dots_saveable)
+        x = jnp.asarray(rng.standard_normal((2, 32, 32, 1)).astype(np.float32))
+        variables = plain.init(jax.random.PRNGKey(0), x, train=False)
+
+        out_p = plain.apply(variables, x, train=False)
+        out_r = remat.apply(variables, x, train=False)
+        for a, b in zip(out_p, out_r):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        def loss(m, p):
+            border, cell = m.apply({"params": p}, x, train=True)
+            return jnp.mean(border ** 2) + jnp.mean(cell ** 2)
+
+        g_p = jax.grad(lambda p: loss(plain, p))(variables["params"])
+        g_r = jax.grad(lambda p: loss(remat, p))(variables["params"])
+        for a, b in zip(jax.tree_util.tree_leaves(g_p),
+                        jax.tree_util.tree_leaves(g_r)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
