@@ -107,20 +107,59 @@ class ConvPool(nn.Module):
         return x
 
 
+class _MatmulUp(nn.Module):
+    """2x2-stride-2 transposed conv as one matmul + depth-to-space.
+
+    With kernel == stride there is no tap overlap, so
+    ``out[2y+i, 2x+j, f] = sum_c x[y, x, c] * W[i, j, c, f] + b[f]`` —
+    a per-pixel linear map.  Writing it as a single (B*H*W, C) x (C, 4F)
+    einsum keeps BOTH the forward and the backward on clean MXU matmul
+    shapes; XLA's strided transposed-conv backward kernels run well below
+    matmul efficiency (measured in scripts/profile_backward.py).  The param
+    tree ({kernel (2,2,C,F), bias (F,)}) matches nn.ConvTranspose exactly,
+    so checkpoints are interchangeable between the two implementations.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2, 2, c_in, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        # lax.conv_transpose (transpose_kernel=False) places W[1-i, 1-j] at
+        # output offset (i, j) — flip the taps to match ConvTranspose exactly
+        z = jnp.einsum("bhwc,ijcf->bhiwjf", x.astype(self.dtype),
+                       kernel[::-1, ::-1].astype(self.dtype))
+        b, h, _, w, _, f = z.shape
+        return z.reshape(b, 2 * h, 2 * w, f) + bias.astype(self.dtype)
+
+
 class TranspConvBlock(nn.Module):
-    """Upsample: transposed conv 2x2 stride 2 -> norm."""
+    """Upsample: transposed conv 2x2 stride 2 -> norm.
+
+    ``up_impl``: 'conv' = nn.ConvTranspose; 'matmul' = the numerically
+    equivalent einsum + depth-to-space (same param tree, faster backward)."""
 
     features: int
     normalization: str = "bn"
     dtype: jnp.dtype = jnp.bfloat16
     axis_name: Optional[str] = None
+    up_impl: str = "conv"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.ConvTranspose(self.features, kernel_size=(2, 2), strides=(2, 2),
-                             padding="VALID", use_bias=True,
-                             dtype=self.dtype, param_dtype=jnp.float32,
-                             name="up")(x)
+        if self.up_impl == "matmul":
+            x = _MatmulUp(self.features, self.dtype, name="up")(x)
+        else:
+            x = nn.ConvTranspose(self.features, kernel_size=(2, 2),
+                                 strides=(2, 2),
+                                 padding="VALID", use_bias=True,
+                                 dtype=self.dtype, param_dtype=jnp.float32,
+                                 name="up")(x)
         x = Norm(self.normalization, dtype=self.dtype,
                  axis_name=self.axis_name, name="norm")(x, train=train)
         return x

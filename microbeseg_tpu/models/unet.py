@@ -81,6 +81,7 @@ class _Decoder(nn.Module):
     dtype: jnp.dtype
     axis_name: Optional[str] = None
     remat_policy: Optional[Any] = None
+    up_impl: str = "conv"
 
     @nn.compact
     def __call__(self, x, skips, train: bool = False):
@@ -88,7 +89,8 @@ class _Decoder(nn.Module):
         feats = _level_features(self.filters)
         for i, f in enumerate(reversed(feats[:-1])):
             x = TranspConvBlock(f, self.normalization, self.dtype,
-                                self.axis_name, name=f"up{i}")(x, train=train)
+                                self.axis_name, self.up_impl,
+                                name=f"up{i}")(x, train=train)
             x = jnp.concatenate([x, skips[-(i + 1)]], axis=-1)
             x = CB(f, self.act_fun, self.normalization, self.dtype,
                    self.axis_name, name=f"dec{i}")(x, train)
@@ -109,6 +111,7 @@ class UNet(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     axis_name: Optional[str] = None
     remat_policy: Optional[Any] = None
+    up_impl: str = "conv"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -118,7 +121,7 @@ class UNet(nn.Module):
                             self.remat_policy, name="encoder")(x, train=train)
         return _Decoder(self.filters, self.ch_out, self.act_fun,
                         self.normalization, self.dtype, self.axis_name,
-                        self.remat_policy,
+                        self.remat_policy, self.up_impl,
                         name="decoder")(x, skips, train=train)
 
 
@@ -139,6 +142,7 @@ class DUNet(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     axis_name: Optional[str] = None
     remat_policy: Optional[Any] = None
+    up_impl: str = "conv"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -148,23 +152,27 @@ class DUNet(nn.Module):
                             self.remat_policy, name="encoder")(x, train=train)
         border = _Decoder(self.filters, self.ch_out, self.act_fun,
                           self.normalization, self.dtype, self.axis_name,
-                          self.remat_policy,
+                          self.remat_policy, self.up_impl,
                           name="decoder1")(x, skips, train=train)
         cell = _Decoder(self.filters, 1, self.act_fun,
                         self.normalization, self.dtype, self.axis_name,
-                        self.remat_policy,
+                        self.remat_policy, self.up_impl,
                         name="decoder2")(x, skips, train=train)
         return border, cell
 
 
 def build_unet(cfg: ModelConfig, dtype: jnp.dtype = jnp.bfloat16,
-               axis_name: Optional[str] = None, remat_policy=None):
+               axis_name: Optional[str] = None, remat_policy=None,
+               up_impl: str = "conv"):
     """Model factory (reference: src/utils/unets.py:8-57).
 
     ``remat_policy``: optional jax.checkpoint policy for ConvBlock-level
-    rematerialization (identical numerics; train-step memory/speed knob)."""
+    rematerialization (identical numerics; train-step memory/speed knob).
+    ``up_impl``: 'conv' | 'matmul' — implementation of the 2x2-stride-2
+    upsampling (same param tree and numerics; see blocks._MatmulUp)."""
     cls = DUNet if cfg.unet_type == "DU" else UNet
     return cls(ch_in=cfg.ch_in, ch_out=cfg.ch_out,
                pool_method=cfg.pool_method, act_fun=cfg.act_fun,
                normalization=cfg.normalization, filters=tuple(cfg.filters),
-               dtype=dtype, axis_name=axis_name, remat_policy=remat_policy)
+               dtype=dtype, axis_name=axis_name, remat_policy=remat_policy,
+               up_impl=up_impl)

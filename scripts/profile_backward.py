@@ -43,12 +43,12 @@ def slope_ms(run, args, n, batch, trials=3):
     return 1e3 * float(np.median(slopes))
 
 
-def build_model(act, norm, remat_policy):
+def build_model(act, norm, remat_policy, up_impl="conv"):
     from microbeseg_tpu.config import ModelConfig
     from microbeseg_tpu.models.unet import build_unet
 
     return build_unet(ModelConfig(act_fun=act, normalization=norm),
-                      remat_policy=remat_policy)
+                      remat_policy=remat_policy, up_impl=up_impl)
 
 
 def fwd_bwd_ms(model, batch, rng):
@@ -107,6 +107,10 @@ VARIANTS = {
     "remat_none": dict(act="mish", norm="bn", remat="nothing", batch=16),
     "batch8": dict(act="mish", norm="bn", remat=None, batch=8),
     "relu_gn": dict(act="relu", norm="gn", remat=None, batch=16),
+    # 2x2-stride-2 transposed convs rewritten as one matmul + depth-to-space
+    # (identical numerics/params; see blocks._MatmulUp)
+    "matmul_up": dict(act="mish", norm="bn", remat=None, batch=16,
+                      up_impl="matmul"),
 }
 
 
@@ -120,10 +124,12 @@ def main():
     rng = np.random.default_rng(0)
     for key in keys:
         v = VARIANTS[key]
-        model = build_model(v["act"], v["norm"], policies[v["remat"]])
+        model = build_model(v["act"], v["norm"], policies[v["remat"]],
+                            v.get("up_impl", "conv"))
         ms = fwd_bwd_ms(model, v["batch"], rng)
         print(f"{key:12s} act={v['act']:4s} norm={v['norm']:2s} "
-              f"remat={str(v['remat']):7s} batch={v['batch']:2d}: "
+              f"remat={str(v['remat']):7s} batch={v['batch']:2d} "
+              f"up={v.get('up_impl', 'conv'):6s}: "
               f"fwd_bwd {ms:.3f} ms/crop ({1e3 / ms:.0f} crops/s)",
               flush=True)
 

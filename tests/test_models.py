@@ -143,3 +143,31 @@ class TestRematVariant:
                         jax.tree_util.tree_leaves(g_r)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6, atol=1e-6)
+
+    def test_matmul_up_matches_convtranspose(self, rng):
+        """up_impl='matmul' (einsum + depth-to-space) must reproduce
+        nn.ConvTranspose exactly: same param tree, same outputs — the 2x2
+        kernel equals the stride so there is no tap overlap and the
+        transposed conv IS a per-pixel linear map."""
+        import jax
+        import jax.numpy as jnp
+
+        from microbeseg_tpu.config import ModelConfig
+        from microbeseg_tpu.models.unet import build_unet
+
+        cfg = ModelConfig(filters=(8, 32), act_fun="relu",
+                          normalization="gn")
+        conv = build_unet(cfg, dtype=jnp.float32)
+        matmul = build_unet(cfg, dtype=jnp.float32, up_impl="matmul")
+        x = jnp.asarray(rng.standard_normal((2, 32, 32, 1)).astype(np.float32))
+        variables = conv.init(jax.random.PRNGKey(3), x, train=False)
+        # identical param trees -> checkpoints interchangeable
+        v2 = matmul.init(jax.random.PRNGKey(3), x, train=False)
+        assert (jax.tree_util.tree_structure(variables)
+                == jax.tree_util.tree_structure(v2))
+
+        out_c = conv.apply(variables, x, train=False)
+        out_m = matmul.apply(variables, x, train=False)
+        for a, b in zip(out_c, out_m):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
