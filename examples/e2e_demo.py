@@ -54,6 +54,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=40)
     parser.add_argument("--n_train", type=int, default=24)
+    parser.add_argument("--crop_size", type=int, default=128,
+                        help="trainset crop size (reference recommends "
+                             "256/320; blob count scales with area)")
+    parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--method", default="distance",
                         choices=("distance", "boundary"),
                         help="label/method family (boundary = the 3-class "
@@ -74,10 +78,14 @@ def main():
     rng = np.random.default_rng(7)
 
     # 1. synthetic trainset
-    for split, n in (("train", args.n_train), ("val", 6), ("test", 4)):
+    cs = args.crop_size
+    n_blobs = max(4, int(10 * (cs / 128) ** 2))
+    for split, n in (("train", args.n_train),
+                     ("val", max(6, args.n_train // 4)),
+                     ("test", max(4, args.n_train // 6))):
         (data_dir / split).mkdir(parents=True)
         for i in range(n):
-            img, mask = synth_sample(rng)
+            img, mask = synth_sample(rng, size=cs, n_blobs=n_blobs)
             imwrite(data_dir / split / f"img_{split}{i:02d}.tif", img)
             imwrite(data_dir / split / f"mask_{split}{i:02d}.tif", mask)
     print("trainset written", flush=True)
@@ -97,7 +105,7 @@ def main():
                       label_type=args.method,
                       loss="smooth_l1" if args.method == "distance"
                            else "ce_dice",
-                      optimizer="ranger", batch_size=8,
+                      optimizer="ranger", batch_size=args.batch_size,
                       run_name=run_name, max_epochs=args.epochs)
     data = TrainingData.from_directory(data_dir, label_type=args.method)
     t0 = time.time()

@@ -42,13 +42,23 @@ def _noop(*a, **k):
     pass
 
 
+def _parsed_poly(p: RoiPolygon) -> np.ndarray:
+    """Parse-once cache: the per-frame rasterize loop of a 2D+t stack would
+    otherwise re-parse every polygon string size_t times."""
+    arr = getattr(p, "_xy", None)
+    if arr is None:
+        arr = roi_string_to_polygon(p.points)
+        p._xy = arr
+    return arr
+
+
 def _rasterize_rois(polys: Sequence[RoiPolygon], t: int,
                     shape: Tuple[int, int]) -> np.ndarray:
     """Polygon ROIs of frame t -> uint16 instance mask (one id per ROI).
 
     Uses the batched native rasterizer (native/contours.cpp) when available;
     per-polygon Python fallback otherwise (identical semantics)."""
-    frame_polys = [roi_string_to_polygon(p.points) for p in polys if p.t == t]
+    frame_polys = [_parsed_poly(p) for p in polys if p.t == t]
     from microbeseg_tpu.client.native import rasterize_rois_native
     native = rasterize_rois_native(frame_polys, shape)
     if native is not None:

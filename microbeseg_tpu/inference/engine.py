@@ -41,15 +41,29 @@ class InferenceEngine:
 
     def __init__(self, model, variables, label_type: str = "distance",
                  cfg: Optional[InferConfig] = None, mesh=None,
-                 max_seeds: int = 256):
+                 max_seeds: Optional[int] = None):
         self.model = model
         self.variables = variables
         self.label_type = label_type
         self.cfg = cfg or InferConfig()
         self.mesh = mesh
+        # None -> instance capacity scales with frame area (_seeds_cap);
+        # a fixed int pins it (tests / memory-constrained callers)
         self.max_seeds = max_seeds
         self._forward_cache: Dict = {}
         self._post_cache: Dict = {}
+
+    def _seeds_cap(self, h: int, w: int) -> int:
+        """Instance capacity of post-processing for an (h, w) frame.
+
+        256 matches the densest reasonable 256² crop; large stitched frames
+        hold thousands of cells (a 2048² synthetic frame carries ~2200), so
+        the cap scales with area at one seed per 256 px — capping at 256
+        there silently dropped >85% of instances (round-3 scale run).
+        Bounded by uint16 output ids and prune-histogram cost."""
+        if self.max_seeds is not None:
+            return self.max_seeds
+        return int(min(32768, max(256, (h * w) // 256)))
 
     @classmethod
     def from_checkpoint(cls, model_path: Path, cfg: Optional[InferConfig] = None,
@@ -291,7 +305,8 @@ class InferenceEngine:
         T = frames.shape[0]
         masks = np.empty(frames.shape, np.uint16)
         bs = self._device_batch(frames.shape[1], frames.shape[2])
-        post = self._post_fn()
+        post = self._post_fn(self._seeds_cap(frames.shape[1],
+                                             frames.shape[2]))
 
         def pad_tail(chunk):
             # keep every call at the full batch shape: one executable
@@ -320,20 +335,20 @@ class InferenceEngine:
                     post(pad_tail(probs[s:s + bs])))[:n]
         return masks[0] if squeeze else masks
 
-    def _post_fn(self):
+    def _post_fn(self, max_seeds: int):
         """Jitted, vmapped post-processing, cached per engine: thresholds ride
         as traced scalars so repeated ``segment`` calls (any thresholds) hit
         one executable per batch shape instead of re-tracing per call."""
-        key = (self.label_type, self.max_seeds)
+        key = (self.label_type, max_seeds)
         fn = self._post_cache.get(key)
         if fn is None:
             if self.label_type == "distance":
                 fn = jax.jit(jax.vmap(
-                    partial(distance_postprocessing, max_seeds=self.max_seeds),
+                    partial(distance_postprocessing, max_seeds=max_seeds),
                     in_axes=(0, 0, None, None)))
             else:
                 fn = jax.jit(jax.vmap(
-                    partial(boundary_postprocessing, max_seeds=self.max_seeds)))
+                    partial(boundary_postprocessing, max_seeds=max_seeds)))
             self._post_cache[key] = fn
         return fn
 
@@ -344,4 +359,5 @@ class InferenceEngine:
         border, cell = self._predict_raw_dev(frame[None])
         return np.asarray(distance_postprocessing_grid(
             border[0], cell[0],
-            jnp.asarray(th_pairs, jnp.float32), max_seeds=self.max_seeds))
+            jnp.asarray(th_pairs, jnp.float32),
+            max_seeds=self._seeds_cap(*frame.shape[-2:])))

@@ -21,13 +21,19 @@ from microbeseg_tpu.ops.filters import gaussian_filter
 from microbeseg_tpu.ops.watershed import watershed, watershed_fast
 
 
-# one-hot chunk size for the seed-histogram matmuls: 64K pixels * 257 ids
-# * 2 B (bf16) = 33 MB of VMEM-streamable intermediate per chunk.  A single
-# full-frame one-hot is fine at crop sizes but would need ~2.2 GB at 2048^2
-# and ~8.6 GB at 4096^2 (segment() post-processes at FULL frame resolution
-# even when tiling only the forward pass), so larger frames stream the same
-# MXU contraction over row chunks via lax.scan instead.
-_ONEHOT_CHUNK = 256 * 256
+# element budget for one one-hot chunk of the seed-histogram matmuls:
+# 64K pixels * 257 ids * 2 B (bf16) = 33 MB of VMEM-streamable intermediate.
+# A single full-frame one-hot is fine at crop sizes but would need ~2.2 GB
+# at 2048^2 (segment() post-processes at FULL frame resolution even when
+# tiling only the forward pass), so larger frames — or larger seed caps —
+# stream the same MXU contraction over pixel chunks via lax.scan.  The
+# chunk's pixel count shrinks as the cap grows so the budget holds for the
+# area-scaled caps the engine uses on big frames.
+_ONEHOT_ELEMS = 256 * 256 * 257
+
+
+def _onehot_chunk(cap: int) -> int:
+    return max(512, _ONEHOT_ELEMS // (cap + 1))
 
 
 def _prune_small_seeds(seeds_bin: jnp.ndarray, min_area_floor: float,
@@ -49,21 +55,41 @@ def _prune_small_seeds(seeds_bin: jnp.ndarray, min_area_floor: float,
     rank = sequentialize_components(connected_components(seeds_bin))
     cap = max_seeds
     rank = jnp.where(rank > cap, 0, rank)  # beyond-capacity components drop
-    # bf16 represents integers <= 256 exactly (use f32 for larger caps); the
-    # one-hot rows are 0/1, so the remap matmul is exact
-    id_dt = jnp.bfloat16 if cap <= 256 else jnp.float32
+
+    # Large caps (area-scaled full-frame post-processing): the one-hot
+    # CONSTRUCTION is O(pixels * cap) VPU compares — at 2048^2 with a 16K
+    # cap that is ~70 G element-ops (~11 s/frame measured), while the
+    # scatter-add histogram + table-gather remap are linear in pixels
+    # (~0.4 ms per 65K elements, scripts/microbench_gather.py).  The matmul
+    # path only wins at the small fixed cap of the hot crop path.
+    if cap > 256:
+        flat = rank.reshape(-1)
+        areas = jax.ops.segment_sum(jnp.ones(flat.shape, jnp.float32),
+                                    flat, num_segments=cap + 1)
+        areas = areas.at[0].set(0.0)
+        n = jnp.sum(areas > 0)
+        mean_area = jnp.sum(areas) / jnp.maximum(n, 1)
+        min_area = jnp.where(n > 0, rel_mean * mean_area, 0.0)
+        min_area = jnp.maximum(min_area, min_area_floor)
+        kept = areas > min_area
+        newid = jnp.cumsum(kept.astype(jnp.int32)) * kept
+        return jnp.take(newid, flat).reshape(rank.shape)
+
+    # bf16 represents integers <= 256 exactly; the one-hot rows are 0/1, so
+    # the remap matmul is exact
+    id_dt = jnp.bfloat16
 
     n_pix = rank.size
-    if n_pix <= _ONEHOT_CHUNK:
+    chunk = _onehot_chunk(cap)
+    if n_pix <= chunk:
         oh = jax.nn.one_hot(rank, cap + 1, dtype=jnp.bfloat16)
         ones = jnp.ones(rank.shape, jnp.bfloat16)
         areas = jnp.einsum("hwn,hw->n", oh, ones,
                            preferred_element_type=jnp.float32)
     else:
-        pad = (-n_pix) % _ONEHOT_CHUNK  # padded 0s land in id 0, zeroed below
-        chunks = jnp.pad(rank.reshape(-1), (0, pad)).reshape(
-            -1, _ONEHOT_CHUNK)
-        ones = jnp.ones((_ONEHOT_CHUNK,), jnp.bfloat16)
+        pad = (-n_pix) % chunk  # padded 0s land in id 0, zeroed below
+        chunks = jnp.pad(rank.reshape(-1), (0, pad)).reshape(-1, chunk)
+        ones = jnp.ones((chunk,), jnp.bfloat16)
 
         def hist_body(acc, c):
             oh_c = jax.nn.one_hot(c, cap + 1, dtype=jnp.bfloat16)
@@ -80,7 +106,7 @@ def _prune_small_seeds(seeds_bin: jnp.ndarray, min_area_floor: float,
     kept = areas > min_area                       # (cap+1,)
     newid = (jnp.cumsum(kept.astype(jnp.int32)) * kept).astype(id_dt)
 
-    if n_pix <= _ONEHOT_CHUNK:
+    if n_pix <= chunk:
         out = jnp.einsum("hwn,n->hw", oh, newid,
                          preferred_element_type=jnp.float32)
         return out.astype(jnp.int32)
@@ -114,7 +140,9 @@ def distance_postprocessing(border_prediction: jnp.ndarray,
     if method == "auto":
         from microbeseg_tpu.ops.pallas.flood import MAX_VMEM_SIDE
         small = max(cell_prediction.shape) <= MAX_VMEM_SIDE
-        method = ("pallas" if small and jax.default_backend() != "cpu"
+        # the packed-key kernel carries labels in 12 bits (flood.py)
+        method = ("pallas" if small and max_seeds < (1 << 12)
+                  and jax.default_backend() != "cpu"
                   else "flood")
     cell = gaussian_filter(cell_prediction.astype(jnp.float32), sigma=0.5)
     border = jnp.clip(border_prediction.astype(jnp.float32), 0.0, 1.0)

@@ -156,12 +156,13 @@ class TestEngine:
         one cached executable per batch shape (VERDICT round-1 weak #4)."""
         frames = _frames_from_blobs(rng, n=2, shape=(60, 70))
         eng = self._engine(batch_size=2)
+        cap = eng._seeds_cap(*frames.shape[1:])
         eng.segment(frames, th_cell=0.10, th_seed=0.45)
-        post = eng._post_fn()
+        post = eng._post_fn(cap)
         n0 = post._cache_size()
         eng.segment(frames, th_cell=0.05, th_seed=0.35)
         eng.segment(frames)
-        assert eng._post_fn() is post
+        assert eng._post_fn(cap) is post
         assert post._cache_size() == n0  # thresholds are traced, not baked in
 
 

@@ -88,7 +88,7 @@ class TestChunkedSeedPrune:
         direct = np.asarray(pp._prune_small_seeds(
             seeds, min_area_floor=4.0, rel_mean=0.10))
         # force the chunked path with a chunk smaller than the frame
-        monkeypatch.setattr(pp, "_ONEHOT_CHUNK", 1024)
+        monkeypatch.setattr(pp, "_ONEHOT_ELEMS", 1024 * 257)
         chunked = np.asarray(pp._prune_small_seeds(
             seeds, min_area_floor=4.0, rel_mean=0.10))
         np.testing.assert_array_equal(direct, chunked)
@@ -100,3 +100,37 @@ class TestChunkedSeedPrune:
         ours = np.asarray(distance_postprocessing(nb, cell, 0.45, 0.10))
         ref = distance_postprocessing_oracle(nb, cell, 0.45, 0.10)
         assert masks_iou(ours, ref) > 0.99
+
+
+class TestLargeInstanceCounts:
+    def test_cap_scales_beyond_256_instances(self, rng):
+        """Full-frame post-processing must keep >256 instances when given a
+        large enough cap (the round-3 scale run showed a fixed 256 cap
+        silently dropping >85% of cells on 1024^2+ frames)."""
+        # ~420 tiny cells on a 416^2 field
+        size, grid = 416, 21
+        cell = np.zeros((size, size), np.float32)
+        yy, xx = np.mgrid[0:size, 0:size]
+        for gy in range(grid):
+            for gx in range(grid):
+                cy, cx = 10 + gy * 19, 10 + gx * 19
+                d = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+                cell = np.maximum(cell, np.clip(1 - d / 6.0, 0, 1))
+        border = np.zeros_like(cell)
+        capped = np.asarray(distance_postprocessing(
+            border, cell, 0.45, 0.10, max_seeds=256))
+        scaled = np.asarray(distance_postprocessing(
+            border, cell, 0.45, 0.10, max_seeds=1024))
+        assert len(np.unique(capped)) - 1 <= 256
+        n_scaled = len(np.unique(scaled)) - 1
+        assert n_scaled == grid * grid  # every cell kept
+
+    def test_engine_seeds_cap_scaling(self):
+        from microbeseg_tpu.inference.engine import InferenceEngine
+
+        eng = InferenceEngine(model=None, variables=None)
+        assert eng._seeds_cap(256, 256) == 256
+        assert eng._seeds_cap(1024, 1024) == 4096
+        assert eng._seeds_cap(4096, 4096) == 32768  # clamped
+        pinned = InferenceEngine(model=None, variables=None, max_seeds=64)
+        assert pinned._seeds_cap(4096, 4096) == 64
