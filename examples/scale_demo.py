@@ -211,9 +211,12 @@ def main():
         "train", lambda: trainer.fit(data),
         unit="epoch-crop", count=args.epochs * len(data.train))
 
+    # bucket-pad path for frames within the tested-shape table (measured
+    # 4-8x the forced-tiling throughput at 1024^2-2048^2, perf_matrix);
+    # sliding-window tiling engages automatically beyond the table
     engine = InferenceEngine.from_checkpoint(
         models_dir / run_name,
-        cfg=InferConfig(use_tiling=True, tile_size=512, tile_overlap=64))
+        cfg=InferConfig(tile_size=512, tile_overlap=64))
 
     # ---- a second crop session WITH pre-labeling ------------------------
     clock.stage("prelabel",
