@@ -24,6 +24,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dataset", default=None, type=int, help="Dataset id")
     parser.add_argument("--files", default=[], type=int, nargs="+",
                         help="Image ids")
+    # reference drop-in interface (infer_script.py:16-18): ids + a type
+    # switch, mapped onto --project/--dataset/--files
+    parser.add_argument("--omero_ids", "-ids", default=[], type=int,
+                        nargs="+",
+                        help="Reference-style id list; combine with "
+                             "--id_type project|dataset|file")
+    parser.add_argument("--id_type", default=None, type=str,
+                        choices=("project", "dataset", "file"),
+                        help='Meaning of --omero_ids (reference "-i")')
     parser.add_argument("--model", "-m", required=True, type=str,
                         help="Path to model")
     parser.add_argument("--thresholds", "-t", default=[0.10, 0.45], type=float,
@@ -49,6 +58,17 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if len(args.thresholds) != 2:
         raise ValueError("exactly 2 thresholds required (th_cell th_seed)")
+    extra_datasets = []
+    if args.omero_ids:
+        if args.id_type is None:
+            raise ValueError("--omero_ids requires --id_type "
+                             "project|dataset|file")
+        if args.id_type == "project":
+            args.project = list(args.project) + list(args.omero_ids)
+        elif args.id_type == "dataset":
+            extra_datasets = list(args.omero_ids)
+        else:
+            args.files = list(args.files) + list(args.omero_ids)
 
     if args.local_store:
         from microbeseg_tpu.client.store import LocalStore
@@ -71,6 +91,7 @@ def main(argv=None) -> int:
     image_ids = list(args.files)
     probe_ids = list(args.files)  # group probes: explicit files +
     dataset_ids = [] if args.dataset is None else [args.dataset]
+    dataset_ids.extend(extra_datasets)
     for pid in args.project:
         dataset_ids.extend(store.list_datasets(pid))
     for did in dataset_ids:

@@ -101,3 +101,36 @@ class TestInferStoreCLI:
             "--local_store", str(tmp_path / "st"), "--model", "m01"])
         assert rc == 0
         assert "No files found" in capsys.readouterr().out
+
+    def test_reference_omero_ids_interface(self, tmp_path, rng,
+                                           patched_engine):
+        """Drop-in reference flags (infer_script.py:16-18): --omero_ids N...
+        --id_type project|dataset|file map onto the native selection."""
+        store, (d1, d2), ids = self._seed_store(tmp_path / "st", rng)
+        rc = infer_store.main([
+            "--local_store", str(tmp_path / "st"),
+            "--omero_ids", "3", "--id_type", "project",
+            "--model", "m01", "--result_path", str(tmp_path / "o1")])
+        assert rc == 0
+        assert len(sorted((tmp_path / "o1").glob("mask_*"))) == 2
+
+        rc = infer_store.main([
+            "--local_store", str(tmp_path / "st"),
+            "--omero_ids", str(d1), str(d2), "--id_type", "dataset",
+            "--model", "m01", "--overwrite",
+            "--result_path", str(tmp_path / "o2")])
+        assert rc == 0
+        assert len(sorted((tmp_path / "o2").glob("mask_*"))) == 2
+
+        rc = infer_store.main([
+            "--local_store", str(tmp_path / "st"),
+            "--omero_ids", str(ids[0]), "--id_type", "file",
+            "--model", "m01", "--overwrite",
+            "--result_path", str(tmp_path / "o3")])
+        assert rc == 0
+        assert len(sorted((tmp_path / "o3").glob("mask_*"))) == 1
+
+        with pytest.raises(ValueError, match="id_type"):
+            infer_store.main([
+                "--local_store", str(tmp_path / "st"),
+                "--omero_ids", "3", "--model", "m01"])
