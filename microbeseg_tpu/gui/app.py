@@ -102,6 +102,7 @@ class MicrobeSegMainWindow(QMainWindow):
         self._active_bridge = None
         self._crops = []
         self._crop_idx = 0
+        self._accepted = set()
 
         self.setWindowTitle("microbeSEG-tpu")
         self._build_ui()
@@ -830,6 +831,7 @@ class MicrobeSegMainWindow(QMainWindow):
         self._next_crop_set()
 
     def _next_crop_set(self):
+        self._accepted = set()
         while self._crop_items:
             image_id, frame = self._crop_items.pop()
             self._crops = self._crop_gen.next_crops(image_id, frame)
@@ -851,24 +853,37 @@ class MicrobeSegMainWindow(QMainWindow):
             "1/2/3 accept, space/s skip")
 
     def accept_crop(self, idx: int):
+        """Accept ONE of the proposed crops and stay on the set — the
+        reference's three accept-checkboxes allow any subset of the 1-3
+        crops (gui:2687-2725); keys 1/2/3 accept crop 1/2/3, space moves
+        on.  The set advances automatically once every crop is taken."""
         from microbeseg_tpu.client.workers import split_assignment
         if not self._crops or idx >= len(self._crops):
             return
         # 'Add to:' override (reference train/val/test checkboxes,
         # gui:283-288); 'auto' follows the reference's persisted
         # accepted-crop counter (gui:2707: split_assignment(num_acc))
+        if idx in self._accepted:
+            return  # keys 1/2/3 keep their original crop positions
         override = self.split_combo.currentText()
         subset = (override if override != "auto"
                   else split_assignment(self._crop_gen.split_info["num_acc"]))
         self._crop_gen.upload_crop(self._crops[idx],
                                    int(self.trainset_box.value()), subset)
+        self._accepted.add(idx)
         self.log.append(f"Crop accepted -> {subset}")
-        self._next_crop_set()
+        if len(self._accepted) == len(self._crops):
+            self._next_crop_set()
+            return
+        self._crop_idx = next(i for i in range(len(self._crops))
+                              if i not in self._accepted)
+        self._show_crop()
 
     def skip_crop(self):
-        """Advance within the crop set; skipping past the last crop denies
-        the frame (recorded in split_info['used'] like the reference, so it
-        is not offered again) and moves to the next frame."""
+        """Advance within the crop set; skipping past the last crop moves
+        to the next frame (the frame lands in split_info['used'] either via
+        an accepted crop or, when nothing was accepted, as a denied frame —
+        reference gui:2196, so it is never offered again)."""
         if not self._crops:
             return
         if self._crop_idx + 1 < len(self._crops):
@@ -877,7 +892,7 @@ class MicrobeSegMainWindow(QMainWindow):
             return
         crop = self._crops[0]
         self._crop_gen.mark_skipped(crop.image_id, crop.frame)
-        self.log.append("Frame skipped.")
+        self.log.append("Frame done.")
         self._next_crop_set()
 
 

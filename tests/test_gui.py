@@ -119,7 +119,7 @@ class TestGuiSmoke:
         n_frames = len(win._crop_items) + 1
         fake_qt.QShortcut.trigger("1")  # accept (frame 1 used)
         fake_qt.QShortcut.trigger("S")  # deny frame 2
-        assert "Frame skipped." in win.log.toPlainText()
+        assert "Frame done." in win.log.toPlainText()
 
         win2, *_ = _window(gui_app, tmp_path, rng, with_data=False)
         win2.store = store
@@ -486,3 +486,28 @@ class TestGuiSmoke:
         fake_qt.QShortcut.trigger("Ctrl+C")
         assert Bridge.stopped
         assert "Stop requested." in win.log.toPlainText()
+
+    def test_multi_accept_within_one_crop_set(self, gui_app, tmp_path, rng):
+        """Several of a frame's 1-3 proposed crops can be accepted (the
+        reference's three accept-checkboxes, gui:2687-2725): keys keep
+        their positions, the set advances once all crops are taken."""
+        win, store, eid, tid = _window(gui_app, tmp_path, rng,
+                                       with_data=False)
+        # wide movie -> 3 crops per frame (200 > 3*64)
+        stack = rng.integers(0, 65535, (6, 96, 220)).astype(np.uint16)
+        store.upload_image(eid, "wide.tif", stack)
+        store.set_dataset_map_annotation(tid, {"crop_size": "64"})
+        win.buttons["Create crops"].click()
+        assert len(win._crops) == 3
+        before = len(store.list_images(tid))
+        frames_left = len(win._crop_items)
+        fake_qt.QShortcut.trigger("1")
+        fake_qt.QShortcut.trigger("2")
+        # still the same frame set (one crop remains)
+        assert len(win._crop_items) == frames_left
+        assert len(store.list_images(tid)) == before + 2
+        fake_qt.QShortcut.trigger("2")  # re-accepting is a no-op
+        assert len(store.list_images(tid)) == before + 2
+        fake_qt.QShortcut.trigger("3")  # last crop -> advances
+        assert len(store.list_images(tid)) == before + 3
+        assert len(win._crop_items) == frames_left - 1
