@@ -58,6 +58,9 @@ def main():
                         help="trainset crop size (reference recommends "
                              "256/320; blob count scales with area)")
     parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--filters", default="16,128",
+                        help="encoder filter range f0,f1 (flagship: 64,1024"
+                             " — the reference default, unets.py:320-331)")
     parser.add_argument("--method", default="distance",
                         choices=("distance", "boundary"),
                         help="label/method family (boundary = the 3-class "
@@ -97,10 +100,11 @@ def main():
 
     # 3. train
     run_name = f"{args.method}_model_01"
+    filters = tuple(int(f) for f in args.filters.split(","))
     cfg = TrainConfig(model=ModelConfig(
                           unet_type="DU" if args.method == "distance" else "U",
                           ch_out=1 if args.method == "distance" else 3,
-                          filters=(16, 128), act_fun="mish",
+                          filters=filters, act_fun="mish",
                           normalization=args.normalization),
                       label_type=args.method,
                       loss="smooth_l1" if args.method == "distance"
