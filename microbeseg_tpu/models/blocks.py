@@ -12,12 +12,43 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 
+@jax.custom_jvp
 def mish(x):
-    return x * jnp.tanh(nn.softplus(x))
+    """mish(x) = x * tanh(softplus(x)), computed with ONE transcendental.
+
+    With u = e^x:  tanh(log(1 + u)) = ((1+u)^2 - 1) / ((1+u)^2 + 1)
+                                    = u(u+2) / (u(u+2) + 2)
+    so the naive chain exp -> log1p -> tanh (3 transcendental VPU ops per
+    element, ~0.5 ms/crop of the flagship train step) collapses to one exp
+    plus rational arithmetic.  u(u+2) overflows the compute dtype for large
+    x where mish(x) = x to machine precision anyway, so the formula is
+    evaluated at min(x, 12) and the identity branch selected above.
+    """
+    t = _tanh_sp(x)
+    return x * t
+
+
+def _tanh_sp(x):
+    u = jnp.exp(jnp.minimum(x, jnp.asarray(12.0, x.dtype)))
+    v = u * (u + 2.0)
+    return jnp.where(x > 12.0, jnp.asarray(1.0, x.dtype), v / (v + 2.0))
+
+
+@mish.defjvp
+def _mish_jvp(primals, tangents):
+    # d/dx mish = t + x * (1 - t^2) * sigmoid(x), t = tanh(softplus(x));
+    # sigmoid reuses the same guarded exp (sigmoid(x) = u / (1 + u))
+    (x,), (dx,) = primals, tangents
+    u = jnp.exp(jnp.minimum(x, jnp.asarray(12.0, x.dtype)))
+    v = u * (u + 2.0)
+    t = jnp.where(x > 12.0, jnp.asarray(1.0, x.dtype), v / (v + 2.0))
+    sig = u / (1.0 + u)
+    return x * t, (t + x * (1.0 - t * t) * sig) * dx
 
 
 _ACTS: dict = {
@@ -25,6 +56,9 @@ _ACTS: dict = {
     "leakyrelu": lambda x: nn.leaky_relu(x, negative_slope=0.01),
     "elu": nn.elu,
     "mish": mish,
+    # identity: not a reference option — perf-diagnostic knob used to
+    # isolate activation cost in scripts/profile_backward.py
+    "linear": lambda x: x,
 }
 
 
@@ -54,6 +88,9 @@ class Norm(nn.Module):
         if self.kind == "gn":
             return nn.GroupNorm(num_groups=8, dtype=self.dtype,
                                 param_dtype=jnp.float32)(x)
+        if self.kind == "none":
+            # not a reference option — perf-diagnostic knob (see _ACTS)
+            return x
         if self.kind == "in":
             # InstanceNorm == GroupNorm with one channel per group, no affine
             # params (torch InstanceNorm2d default: affine=False).

@@ -171,3 +171,45 @@ class TestRematVariant:
         for a, b in zip(out_c, out_m):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-5)
+
+
+class TestFastMish:
+    def test_matches_naive_mish(self, rng):
+        """mish is computed with one exp via the algebraic identity
+        tanh(log(1+u)) = u(u+2)/(u(u+2)+2); it must match the naive
+        x*tanh(softplus(x)) chain (values AND grads) over the full range,
+        including the large-x identity branch and extreme magnitudes."""
+        import jax
+        import jax.numpy as jnp
+        from flax import linen as nn
+
+        from microbeseg_tpu.models.blocks import mish
+
+        def naive(x):
+            return x * jnp.tanh(nn.softplus(x))
+
+        x = jnp.asarray(np.concatenate([
+            np.linspace(-60, 60, 20001),
+            [-1e30, -88.0, -12.001, -11.999, 11.999, 12.001, 88.0, 1e30],
+        ]).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(mish(x)), np.asarray(naive(x)),
+                                   rtol=1e-5, atol=2e-6)
+        ga = jax.vmap(jax.grad(mish))(x)
+        gb = jax.vmap(jax.grad(naive))(x)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=1e-4, atol=5e-6)
+
+    def test_bf16_within_ulp(self, rng):
+        """In the model's bfloat16 compute dtype the two formulas agree to
+        bf16 resolution (a couple of ulp)."""
+        import jax.numpy as jnp
+        from flax import linen as nn
+
+        from microbeseg_tpu.models.blocks import mish
+
+        x = jnp.asarray(rng.standard_normal(65536).astype(np.float32) * 6
+                        ).astype(jnp.bfloat16)
+        a = mish(x).astype(jnp.float32)
+        b = (x * jnp.tanh(nn.softplus(x))).astype(jnp.float32)
+        denom = np.maximum(np.abs(np.asarray(b)), 1.0)
+        assert float(np.max(np.abs(np.asarray(a - b)) / denom)) < 0.02
