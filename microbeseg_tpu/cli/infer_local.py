@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Tile overlap (halo) in pixels")
     parser.add_argument("--sliding_window", default=False, action="store_true",
                         help="Force sliding-window tiled inference")
+    parser.add_argument("--quantize", default=False, action="store_true",
+                        help="int8 forward on the large-spatial conv layers "
+                        "(TPU MXU double-rate path; beyond-reference serving "
+                        "mode, same checkpoints)")
     parser.add_argument("--overwrite", "-o", default=False,
                         action="store_true", help="Overwrite existing results")
     return parser
@@ -78,7 +82,8 @@ def main(argv=None) -> int:
 
     cfg = InferConfig(th_cell=args.thresholds[0], th_seed=args.thresholds[1],
                       batch_size=args.batch_size, use_tiling=args.sliding_window,
-                      tile_size=args.tile_size, tile_overlap=args.tile_overlap)
+                      tile_size=args.tile_size, tile_overlap=args.tile_overlap,
+                      quantize=args.quantize)
     engine = InferenceEngine.from_checkpoint(stem, cfg=cfg)
 
     file_ids = sorted(imgs_path.glob("*.tif*"))

@@ -133,6 +133,9 @@ class InferConfig:
     use_tiling: bool = False
     tile_size: int = 512
     tile_overlap: int = 64
+    # int8 forward on the large-spatial conv layers (v5e double-rate MXU
+    # path; beyond-reference serving mode — see models/blocks.QuantConv).
+    quantize: bool = False
 
 
 @dataclass(frozen=True)

@@ -46,6 +46,10 @@ class InferenceEngine:
         self.variables = variables
         self.label_type = label_type
         self.cfg = cfg or InferConfig()
+        if self.cfg.quantize and hasattr(model, "quantize"):
+            # int8 forward: same param tree, eval-mode-only swap of the
+            # large-spatial convs to the MXU int8 path (blocks.QuantConv)
+            self.model = model.clone(quantize=True)
         self.mesh = mesh
         # None -> instance capacity scales with frame area (_seeds_cap);
         # a fixed int pins it (tests / memory-constrained callers)

@@ -100,6 +100,54 @@ class Norm(nn.Module):
         raise ValueError(f"Unsupported normalization: {self.kind}")
 
 
+def _quantize_this(h: int, w: int, c_in: int, c_out: int) -> bool:
+    """Layer predicate for int8 inference: quantize the large-spatial,
+    small/medium-channel conv3x3 layers where the MXU int8 path measures
+    1.5-1.9x over bf16 on v5e (scripts/bench_int8_conv.py); deep levels
+    (32^2 x 512ch and below) measured SLOWER in int8 (0.6x) and stay bf16,
+    as do the ch_in=1 input conv and all 1x1/strided/transposed convs."""
+    return h * w >= 128 * 128 and 8 <= c_in <= 256 and c_out <= 256
+
+
+class QuantConv(nn.Module):
+    """int8 3x3 conv for inference: drop-in for nn.Conv (IDENTICAL param
+    tree — float32 'kernel' (3,3,ci,co) + 'bias' (co,), so checkpoints are
+    interchangeable with the bf16 path).
+
+    Weights quantize per-output-channel symmetric (computed from the f32
+    params inside the jit — negligible vs the conv), activations per-sample
+    symmetric from a dynamic |x| max; the conv accumulates in int32 on the
+    MXU's double-rate int8 path and dequantizes straight to the compute
+    dtype.  Inference-only: no custom backward (training stays bf16)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, c_in, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        # per-output-channel weight scales
+        w_amax = jnp.max(jnp.abs(kernel), axis=(0, 1, 2))
+        w_scale = jnp.maximum(w_amax, 1e-12) / 127.0
+        w_q = jnp.clip(jnp.round(kernel / w_scale), -127, 127).astype(jnp.int8)
+        # per-sample activation scales
+        xf = x.astype(jnp.float32)
+        x_amax = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)
+        x_scale = jnp.maximum(x_amax, 1e-12) / 127.0
+        x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            x_q, w_q, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        scale = (x_scale * w_scale).astype(jnp.float32)
+        return (y.astype(jnp.float32) * scale
+                + bias).astype(self.dtype)
+
+
 class ConvBlock(nn.Module):
     """[conv3x3 -> act -> norm] x 2."""
 
@@ -108,15 +156,23 @@ class ConvBlock(nn.Module):
     normalization: str = "bn"
     dtype: jnp.dtype = jnp.bfloat16
     axis_name: Optional[str] = None
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         act = get_act(self.act_fun)
         for i in range(2):
-            x = nn.Conv(self.features, kernel_size=(3, 3), strides=(1, 1),
-                        padding=((1, 1), (1, 1)), use_bias=True,
-                        dtype=self.dtype, param_dtype=jnp.float32,
-                        name=f"conv{i}")(x)
+            h, w, ci = x.shape[1], x.shape[2], x.shape[3]
+            if (self.quantize and not train
+                    and _quantize_this(h, w, ci, self.features)):
+                x = QuantConv(self.features, self.dtype,
+                              name=f"conv{i}")(x)
+            else:
+                x = nn.Conv(self.features, kernel_size=(3, 3),
+                            strides=(1, 1),
+                            padding=((1, 1), (1, 1)), use_bias=True,
+                            dtype=self.dtype, param_dtype=jnp.float32,
+                            name=f"conv{i}")(x)
             x = act(x)
             x = Norm(self.normalization, dtype=self.dtype,
                      axis_name=self.axis_name, name=f"norm{i}")(x, train=train)

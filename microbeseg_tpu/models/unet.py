@@ -53,6 +53,7 @@ class _Encoder(nn.Module):
     dtype: jnp.dtype
     axis_name: Optional[str] = None
     remat_policy: Optional[Any] = None
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -61,7 +62,7 @@ class _Encoder(nn.Module):
         skips = []
         for i, f in enumerate(feats[:-1]):
             x = CB(f, self.act_fun, self.normalization, self.dtype,
-                   self.axis_name, name=f"enc{i}")(x, train)
+                   self.axis_name, self.quantize, name=f"enc{i}")(x, train)
             skips.append(x)
             if self.pool_method == "conv":
                 x = ConvPool(f, self.act_fun, self.normalization, self.dtype,
@@ -69,7 +70,8 @@ class _Encoder(nn.Module):
             else:
                 x = max_pool_2x2(x)
         x = CB(feats[-1], self.act_fun, self.normalization, self.dtype,
-               self.axis_name, name=f"enc{len(feats) - 1}")(x, train)
+               self.axis_name, self.quantize,
+               name=f"enc{len(feats) - 1}")(x, train)
         return x, skips
 
 
@@ -82,6 +84,7 @@ class _Decoder(nn.Module):
     axis_name: Optional[str] = None
     remat_policy: Optional[Any] = None
     up_impl: str = "conv"
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, skips, train: bool = False):
@@ -93,7 +96,7 @@ class _Decoder(nn.Module):
                                 name=f"up{i}")(x, train=train)
             x = jnp.concatenate([x, skips[-(i + 1)]], axis=-1)
             x = CB(f, self.act_fun, self.normalization, self.dtype,
-                   self.axis_name, name=f"dec{i}")(x, train)
+                   self.axis_name, self.quantize, name=f"dec{i}")(x, train)
         x = nn.Conv(self.ch_out, kernel_size=(1, 1), use_bias=True,
                     dtype=self.dtype, param_dtype=jnp.float32, name="out")(x)
         return x.astype(jnp.float32)
@@ -112,16 +115,18 @@ class UNet(nn.Module):
     axis_name: Optional[str] = None
     remat_policy: Optional[Any] = None
     up_impl: str = "conv"
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
         x, skips = _Encoder(self.filters, self.act_fun, self.pool_method,
                             self.normalization, self.dtype, self.axis_name,
-                            self.remat_policy, name="encoder")(x, train=train)
+                            self.remat_policy, self.quantize,
+                            name="encoder")(x, train=train)
         return _Decoder(self.filters, self.ch_out, self.act_fun,
                         self.normalization, self.dtype, self.axis_name,
-                        self.remat_policy, self.up_impl,
+                        self.remat_policy, self.up_impl, self.quantize,
                         name="decoder")(x, skips, train=train)
 
 
@@ -143,36 +148,41 @@ class DUNet(nn.Module):
     axis_name: Optional[str] = None
     remat_policy: Optional[Any] = None
     up_impl: str = "conv"
+    quantize: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
         x, skips = _Encoder(self.filters, self.act_fun, self.pool_method,
                             self.normalization, self.dtype, self.axis_name,
-                            self.remat_policy, name="encoder")(x, train=train)
+                            self.remat_policy, self.quantize,
+                            name="encoder")(x, train=train)
         border = _Decoder(self.filters, self.ch_out, self.act_fun,
                           self.normalization, self.dtype, self.axis_name,
-                          self.remat_policy, self.up_impl,
+                          self.remat_policy, self.up_impl, self.quantize,
                           name="decoder1")(x, skips, train=train)
         cell = _Decoder(self.filters, 1, self.act_fun,
                         self.normalization, self.dtype, self.axis_name,
-                        self.remat_policy, self.up_impl,
+                        self.remat_policy, self.up_impl, self.quantize,
                         name="decoder2")(x, skips, train=train)
         return border, cell
 
 
 def build_unet(cfg: ModelConfig, dtype: jnp.dtype = jnp.bfloat16,
                axis_name: Optional[str] = None, remat_policy=None,
-               up_impl: str = "conv"):
+               up_impl: str = "conv", quantize: bool = False):
     """Model factory (reference: src/utils/unets.py:8-57).
 
     ``remat_policy``: optional jax.checkpoint policy for ConvBlock-level
     rematerialization (identical numerics; train-step memory/speed knob).
     ``up_impl``: 'conv' | 'matmul' — implementation of the 2x2-stride-2
-    upsampling (same param tree and numerics; see blocks._MatmulUp)."""
+    upsampling (same param tree and numerics; see blocks._MatmulUp).
+    ``quantize``: int8 inference on the large-spatial conv3x3 layers
+    (same param tree — checkpoints interchangeable; eval-mode only; see
+    blocks.QuantConv)."""
     cls = DUNet if cfg.unet_type == "DU" else UNet
     return cls(ch_in=cfg.ch_in, ch_out=cfg.ch_out,
                pool_method=cfg.pool_method, act_fun=cfg.act_fun,
                normalization=cfg.normalization, filters=tuple(cfg.filters),
                dtype=dtype, axis_name=axis_name, remat_policy=remat_policy,
-               up_impl=up_impl)
+               up_impl=up_impl, quantize=quantize)

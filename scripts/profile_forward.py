@@ -47,7 +47,8 @@ def fwd_ms(model, rng):
             acc = carry
             border, cell = model.apply(variables, x + s * acc * 1e-9,
                                        train=False)
-            return acc + jnp.sum(cell) * 1e-9
+            # consume BOTH heads or XLA dead-code-eliminates decoder1
+            return acc + (jnp.sum(cell) + jnp.sum(border)) * 1e-9
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 

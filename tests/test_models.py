@@ -213,3 +213,51 @@ class TestFastMish:
         b = (x * jnp.tanh(nn.softplus(x))).astype(jnp.float32)
         denom = np.maximum(np.abs(np.asarray(b)), 1.0)
         assert float(np.max(np.abs(np.asarray(a - b)) / denom)) < 0.02
+
+
+class TestQuantConv:
+    def test_param_tree_and_quality(self, rng):
+        """build_unet(quantize=True) swaps large-spatial convs to the int8
+        path (blocks.QuantConv) with an IDENTICAL param tree (checkpoints
+        interchangeable); eval outputs stay close to bf16 and train mode is
+        bit-identical (quantize is inference-only)."""
+        import jax
+        import jax.numpy as jnp
+        import jax.tree_util as tu
+
+        from microbeseg_tpu.config import ModelConfig
+        from microbeseg_tpu.models.unet import build_unet
+
+        cfg = ModelConfig(filters=(8, 32), act_fun="mish",
+                          normalization="gn")
+        plain = build_unet(cfg)
+        quant = build_unet(cfg, quantize=True)
+        x = jnp.asarray(
+            rng.standard_normal((2, 128, 128, 1)).astype(np.float32))
+        v = plain.init(jax.random.PRNGKey(0), x, train=False)
+        v2 = quant.init(jax.random.PRNGKey(0), x, train=False)
+        assert tu.tree_structure(v) == tu.tree_structure(v2)
+
+        a = plain.apply(v, x, train=False)
+        b = quant.apply(v, x, train=False)
+        for pa, pb in zip(a, b):
+            pa, pb = np.asarray(pa), np.asarray(pb)
+            rms = np.sqrt(np.mean(pa ** 2))
+            assert np.sqrt(np.mean((pa - pb) ** 2)) < 0.08 * rms + 1e-3
+
+        ta = plain.apply(v, x, train=True)
+        tb = quant.apply(v, x, train=True)
+        for pa, pb in zip(ta, tb):
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+    def test_predicate_spares_small_and_deep(self):
+        """The layer predicate quantizes only >=128^2 spatial with medium
+        channel counts — ch_in=1 input convs and deep 512-ch levels stay
+        bf16 (measured slower in int8, scripts/bench_int8_conv.py)."""
+        from microbeseg_tpu.models.blocks import _quantize_this
+
+        assert _quantize_this(256, 256, 64, 64)
+        assert _quantize_this(128, 128, 128, 128)
+        assert not _quantize_this(256, 256, 1, 64)     # input conv
+        assert not _quantize_this(32, 32, 512, 512)    # deep level
+        assert not _quantize_this(64, 64, 256, 256)    # below spatial cut
