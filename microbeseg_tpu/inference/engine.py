@@ -48,7 +48,11 @@ class InferenceEngine:
         self.cfg = cfg or InferConfig()
         if self.cfg.quantize and hasattr(model, "quantize"):
             # int8 forward: same param tree, eval-mode-only swap of the
-            # large-spatial convs to the MXU int8 path (blocks.QuantConv)
+            # large-spatial convs to the MXU int8 path (blocks.QuantConv);
+            # activation scales are calibrated once on the first real chunk
+            # (_ensure_quant_calibrated) so the steady-state quantize is
+            # fully fused — the dynamic-scale fallback measured neutral
+            self._quant_calibrated = "quant" in variables
             self.model = model.clone(quantize=True)
         self.mesh = mesh
         # None -> instance capacity scales with frame area (_seeds_cap);
@@ -76,6 +80,23 @@ class InferenceEngine:
         return cls(model, variables, train_cfg.label_type, cfg=cfg, mesh=mesh)
 
     # ------------------------------------------------------------------
+
+    def _ensure_quant_calibrated(self, sample: np.ndarray) -> None:
+        """One-time int8 activation-scale calibration on a representative
+        chunk of NORMALIZED frames (b, h, w): records per-layer |x| maxima
+        into the 'quant' variable collection (blocks.QuantConv), after which
+        every jitted forward uses static scales and the quantize/dequant
+        passes fuse away.  Must run before the first _forward_fn build —
+        the jitted forwards close over self.variables."""
+        if not self.cfg.quantize or getattr(self, "_quant_calibrated", True):
+            return
+        x = jnp.asarray(np.asarray(sample[:4], np.float32)[..., None])
+        calib = jax.jit(partial(self.model.apply, train=False,
+                                mutable=["quant"]))
+        _, updated = calib(self.variables, x)
+        self.variables = {**self.variables, **jax.device_get(updated)}
+        self._forward_cache.clear()
+        self._quant_calibrated = True
 
     def _forward_fn(self, pad_y: int, pad_x: int):
         """Jitted pad-cropping forward pass for one pad bucket."""
@@ -191,6 +212,7 @@ class InferenceEngine:
         # infer.py:256 via zero_pad_model_input on the raw frame minimum)
         padded = np.pad(norm, ((0, 0), (pad_y, 0), (pad_x, 0)),
                         constant_values=-1.0)
+        self._ensure_quant_calibrated(padded)
         fwd = self._forward_fn(pad_y, pad_x)
 
         outs = []
@@ -247,7 +269,6 @@ class InferenceEngine:
         if min(H, W) < tile:
             raise ValueError(
                 f"image {H}x{W} smaller than tile {tile}; shrink tile_size")
-        fwd = self._forward_fn(0, 0)
         bs = self._device_batch(tile, tile)
 
         # collect tiles across ALL frames so the device sees full batches
@@ -264,6 +285,8 @@ class InferenceEngine:
         if n_pad:
             tiles = np.concatenate(
                 [tiles, np.zeros((n_pad, tile, tile), np.float32)])
+        self._ensure_quant_calibrated(tiles)
+        fwd = self._forward_fn(0, 0)
         preds = []
         for s in range(0, tiles.shape[0], bs):
             chunk = jnp.asarray(tiles[s:s + bs][..., None])

@@ -115,10 +115,23 @@ class QuantConv(nn.Module):
     interchangeable with the bf16 path).
 
     Weights quantize per-output-channel symmetric (computed from the f32
-    params inside the jit — negligible vs the conv), activations per-sample
-    symmetric from a dynamic |x| max; the conv accumulates in int32 on the
-    MXU's double-rate int8 path and dequantizes straight to the compute
-    dtype.  Inference-only: no custom backward (training stays bf16)."""
+    params inside the jit — negligible vs the conv); the conv accumulates
+    in int32 on the MXU's double-rate int8 path and dequantizes straight to
+    the compute dtype.  Inference-only: no custom backward (training stays
+    bf16).
+
+    Activation scales come in two modes:
+    - CALIBRATED (the fast path): a per-layer |x| max lives in the 'quant'
+      variable collection, recorded by one apply with mutable=['quant'] on
+      a representative batch (InferenceEngine does this on the first real
+      chunk).  The quantize is then pure elementwise — XLA fuses it into
+      the producing norm/act chain — and the dequant fuses into the conv
+      consumer; no extra HBM passes.
+    - DYNAMIC (fallback when no calibration has run): per-sample |x| max
+      computed on the fly.  Correct, but the amax reduction is a separate
+      full pass over the activation that breaks producer fusion — measured
+      to eat the entire MXU saving (docs/E2E_RESULTS.md int8 probe).
+    """
 
     features: int
     dtype: jnp.dtype = jnp.bfloat16
@@ -134,10 +147,29 @@ class QuantConv(nn.Module):
         w_amax = jnp.max(jnp.abs(kernel), axis=(0, 1, 2))
         w_scale = jnp.maximum(w_amax, 1e-12) / 127.0
         w_q = jnp.clip(jnp.round(kernel / w_scale), -127, 127).astype(jnp.int8)
-        # per-sample activation scales
+
         xf = x.astype(jnp.float32)
-        x_amax = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)
-        x_scale = jnp.maximum(x_amax, 1e-12) / 127.0
+        # is_initializing: init() makes every collection mutable — don't
+        # create calibration vars there, or the init tree diverges from the
+        # bf16 model's (checkpoint interchangeability)
+        calibrating = (self.is_mutable_collection("quant")
+                       and not self.is_initializing())
+        if calibrating:
+            # record the batch |x| max (monotone across calibration passes)
+            amax_var = self.variable("quant", "act_amax",
+                                     lambda: jnp.zeros((), jnp.float32))
+            amax_var.value = jnp.maximum(amax_var.value,
+                                         jnp.max(jnp.abs(xf)))
+        if not calibrating and self.has_variable("quant", "act_amax"):
+            # static per-tensor scale: quantize is elementwise (fusible);
+            # out-of-range activations saturate at +/-127 via the clip
+            x_scale = jnp.maximum(
+                self.get_variable("quant", "act_amax"), 1e-12) / 127.0
+        else:
+            # dynamic per-sample scale (calibration pass itself, or no
+            # calibration available)
+            x_amax = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)
+            x_scale = jnp.maximum(x_amax, 1e-12) / 127.0
         x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
         y = jax.lax.conv_general_dilated(
             x_q, w_q, window_strides=(1, 1), padding=((1, 1), (1, 1)),

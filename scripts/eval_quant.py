@@ -61,14 +61,19 @@ def perf(size=256, batch=16):
     rng = np.random.default_rng(0)
     x = jnp.asarray(
         rng.standard_normal((batch, size, size, 1)).astype(np.float32))
-    for mode in ("bf16", "int8"):
-        model = build_unet(ModelConfig(), quantize=(mode == "int8"))
+    for mode in ("bf16", "int8-dyn", "int8-static"):
+        model = build_unet(ModelConfig(), quantize=mode.startswith("int8"))
         shapes = jax.eval_shape(
             lambda: model.init(jax.random.PRNGKey(0), x[:1], train=False))
         variables = jax.tree.map(
             lambda s: jnp.asarray(
                 (rng.standard_normal(s.shape) * 0.05).astype(s.dtype)),
             shapes)
+        if mode == "int8-static":
+            # one calibration pass -> static per-layer activation scales
+            _, upd = jax.jit(lambda v, xx: model.apply(
+                v, xx, train=False, mutable=["quant"]))(variables, x[:4])
+            variables = {**variables, **jax.device_get(upd)}
 
         @jax.jit
         def chain(variables, x, s, n):

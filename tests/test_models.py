@@ -250,6 +250,58 @@ class TestQuantConv:
         for pa, pb in zip(ta, tb):
             np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
 
+    def test_calibrated_static_scales(self, rng):
+        """One mutable=['quant'] apply records a positive per-layer |x| max;
+        subsequent applies use the static scale (no per-sample reduction)
+        and stay close to the dynamic-scale output."""
+        import jax
+        import jax.numpy as jnp
+        import jax.tree_util as tu
+
+        from microbeseg_tpu.config import ModelConfig
+        from microbeseg_tpu.models.unet import build_unet
+
+        cfg = ModelConfig(filters=(8, 32), act_fun="mish",
+                          normalization="gn")
+        quant = build_unet(cfg, quantize=True)
+        x = jnp.asarray(
+            rng.standard_normal((2, 128, 128, 1)).astype(np.float32))
+        v = quant.init(jax.random.PRNGKey(0), x, train=False)
+
+        out_dyn = quant.apply(v, x, train=False)
+        _, upd = quant.apply(v, x, train=False, mutable=["quant"])
+        amaxes = tu.tree_leaves(upd["quant"])
+        assert amaxes and all(float(a) > 0 for a in amaxes)
+
+        out_static = quant.apply({**v, **upd}, x, train=False)
+        for pd, ps in zip(out_dyn, out_static):
+            pd, ps = np.asarray(pd), np.asarray(ps)
+            rms = max(np.sqrt(np.mean(pd ** 2)), 1e-6)
+            assert np.sqrt(np.mean((pd - ps) ** 2)) < 0.05 * rms + 1e-3
+
+    def test_engine_calibrates_once(self, rng, tmp_path):
+        """InferConfig.quantize: the engine calibrates on the first segment()
+        call (quant collection appears in variables) and reuses the static
+        scales afterwards — repeated segmentation is deterministic."""
+        import jax
+
+        from microbeseg_tpu.config import InferConfig, ModelConfig
+        from microbeseg_tpu.inference.engine import InferenceEngine
+        from microbeseg_tpu.models.unet import build_unet
+
+        cfg = ModelConfig(filters=(8, 32), act_fun="mish",
+                          normalization="gn")
+        model = build_unet(cfg)
+        x = rng.standard_normal((3, 128, 128)).astype(np.float32)
+        v = model.init(jax.random.PRNGKey(0), x[:1][..., None], train=False)
+        eng = InferenceEngine(model, v, "distance",
+                              cfg=InferConfig(quantize=True, batch_size=2))
+        assert not eng._quant_calibrated
+        m1 = eng.segment(x)
+        assert eng._quant_calibrated and "quant" in eng.variables
+        m2 = eng.segment(x)
+        np.testing.assert_array_equal(m1, m2)
+
     def test_predicate_spares_small_and_deep(self):
         """The layer predicate quantizes only >=128^2 spatial with medium
         channel counts — ch_in=1 input convs and deep 512-ch levels stay
