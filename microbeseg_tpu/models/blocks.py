@@ -101,12 +101,13 @@ class Norm(nn.Module):
 
 
 def _quantize_this(h: int, w: int, c_in: int, c_out: int) -> bool:
-    """Layer predicate for int8 inference: quantize the large-spatial,
-    small/medium-channel conv3x3 layers where the MXU int8 path measures
-    1.5-1.9x over bf16 on v5e (scripts/bench_int8_conv.py); deep levels
-    (32^2 x 512ch and below) measured SLOWER in int8 (0.6x) and stay bf16,
-    as do the ch_in=1 input conv and all 1x1/strided/transposed convs."""
-    return h * w >= 128 * 128 and 8 <= c_in <= 256 and c_out <= 256
+    """Layer predicate for int8 inference: quantize only the >=256^2
+    spatial, small/medium-channel conv3x3 layers where XLA's int8 conv
+    measures 1.5-1.8x over bf16 on v5e (scripts/bench_int8_conv.py:
+    256^2 64ch 1.51x, 256^2 128ch 1.82x).  128^2 x 128ch measured 0.81x
+    (a net LOSS) and deep levels 0.6x, so they stay bf16, as do the
+    ch_in=1 input conv and all 1x1/strided/transposed convs."""
+    return h * w >= 256 * 256 and 8 <= c_in <= 256 and c_out <= 256
 
 
 class QuantConv(nn.Module):

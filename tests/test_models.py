@@ -233,7 +233,7 @@ class TestQuantConv:
         plain = build_unet(cfg)
         quant = build_unet(cfg, quantize=True)
         x = jnp.asarray(
-            rng.standard_normal((2, 128, 128, 1)).astype(np.float32))
+            rng.standard_normal((2, 256, 256, 1)).astype(np.float32))
         v = plain.init(jax.random.PRNGKey(0), x, train=False)
         v2 = quant.init(jax.random.PRNGKey(0), x, train=False)
         assert tu.tree_structure(v) == tu.tree_structure(v2)
@@ -265,7 +265,7 @@ class TestQuantConv:
                           normalization="gn")
         quant = build_unet(cfg, quantize=True)
         x = jnp.asarray(
-            rng.standard_normal((2, 128, 128, 1)).astype(np.float32))
+            rng.standard_normal((2, 256, 256, 1)).astype(np.float32))
         v = quant.init(jax.random.PRNGKey(0), x, train=False)
 
         out_dyn = quant.apply(v, x, train=False)
@@ -292,7 +292,7 @@ class TestQuantConv:
         cfg = ModelConfig(filters=(8, 32), act_fun="mish",
                           normalization="gn")
         model = build_unet(cfg)
-        x = rng.standard_normal((3, 128, 128)).astype(np.float32)
+        x = rng.standard_normal((3, 256, 256)).astype(np.float32)
         v = model.init(jax.random.PRNGKey(0), x[:1][..., None], train=False)
         eng = InferenceEngine(model, v, "distance",
                               cfg=InferConfig(quantize=True, batch_size=2))
@@ -303,13 +303,15 @@ class TestQuantConv:
         np.testing.assert_array_equal(m1, m2)
 
     def test_predicate_spares_small_and_deep(self):
-        """The layer predicate quantizes only >=128^2 spatial with medium
-        channel counts — ch_in=1 input convs and deep 512-ch levels stay
-        bf16 (measured slower in int8, scripts/bench_int8_conv.py)."""
+        """The layer predicate quantizes only >=256^2 spatial with medium
+        channel counts — ch_in=1 input convs, the 128^2 level (XLA int8
+        0.81x, a net loss) and deep 512-ch levels stay bf16 (measured in
+        scripts/bench_int8_conv.py)."""
         from microbeseg_tpu.models.blocks import _quantize_this
 
         assert _quantize_this(256, 256, 64, 64)
-        assert _quantize_this(128, 128, 128, 128)
+        assert _quantize_this(512, 512, 128, 128)      # large tile, level 0/1
+        assert not _quantize_this(128, 128, 128, 128)  # XLA int8 is slower
         assert not _quantize_this(256, 256, 1, 64)     # input conv
         assert not _quantize_this(32, 32, 512, 512)    # deep level
         assert not _quantize_this(64, 64, 256, 256)    # below spatial cut
