@@ -44,11 +44,13 @@ def slope_ms(run, args, n, batch, trials=3):
 
 
 def build_model(act, norm, remat_policy, up_impl="conv"):
-    from microbeseg_tpu.config import ModelConfig
-    from microbeseg_tpu.models.unet import build_unet
+    from microbeseg_tpu.models.unet import DUNet
 
-    return build_unet(ModelConfig(act_fun=act, normalization=norm),
-                      remat_policy=remat_policy, up_impl=up_impl)
+    # constructed directly (not via ModelConfig) so the diagnostic-only
+    # act='linear' / norm='none' knobs are reachable
+    return DUNet(ch_in=1, ch_out=1, pool_method="conv", act_fun=act,
+                 normalization=norm, filters=(64, 1024),
+                 remat_policy=remat_policy, up_impl=up_impl)
 
 
 def fwd_bwd_ms(model, batch, rng):
@@ -111,6 +113,11 @@ VARIANTS = {
     # (identical numerics/params; see blocks._MatmulUp)
     "matmul_up": dict(act="mish", norm="bn", remat=None, batch=16,
                       up_impl="matmul"),
+    # joint act+norm ablation: bounds what a fused Pallas act+norm block
+    # could recover (gn - bare = joint cost incl. fusion glue)
+    "bare": dict(act="linear", norm="none", remat=None, batch=16),
+    "gn_linear": dict(act="linear", norm="gn", remat=None, batch=16),
+    "none_mish": dict(act="mish", norm="none", remat=None, batch=16),
 }
 
 

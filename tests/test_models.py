@@ -302,6 +302,29 @@ class TestQuantConv:
         m2 = eng.segment(x)
         np.testing.assert_array_equal(m1, m2)
 
+    def test_engine_calibrates_tiled_path(self, rng):
+        """quantize + sliding-window tiling: calibration runs on the tile
+        batch before the tiled forward is built."""
+        import jax
+
+        from microbeseg_tpu.config import InferConfig, ModelConfig
+        from microbeseg_tpu.inference.engine import InferenceEngine
+        from microbeseg_tpu.models.unet import build_unet
+
+        cfg = ModelConfig(filters=(8, 32), act_fun="mish",
+                          normalization="gn")
+        model = build_unet(cfg)
+        x = rng.standard_normal((1, 384, 384)).astype(np.float32)
+        v = model.init(jax.random.PRNGKey(0),
+                       jax.numpy.zeros((1, 256, 256, 1)), train=False)
+        eng = InferenceEngine(
+            model, v, "distance",
+            cfg=InferConfig(quantize=True, use_tiling=True, tile_size=256,
+                            tile_overlap=64, batch_size=2))
+        masks = eng.segment(x)
+        assert masks.shape == (1, 384, 384)
+        assert eng._quant_calibrated and "quant" in eng.variables
+
     def test_predicate_spares_small_and_deep(self):
         """The layer predicate quantizes only >=256^2 spatial with medium
         channel counts — ch_in=1 input convs, the 128^2 level (XLA int8
