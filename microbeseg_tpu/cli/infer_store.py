@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--result_path", "-r", default=None, type=str)
     parser.add_argument("--sliding_window", default=False, action="store_true",
                         help="Sliding-window tiled inference for large frames")
+    parser.add_argument("--quantize", default=False, action="store_true",
+                        help="int8 forward on the large-spatial conv layers "
+                        "(TPU MXU double-rate path; beyond-reference serving "
+                        "mode, same checkpoints)")
     parser.add_argument("--local_store", default=None, type=str,
                         help="Path of a LocalStore root (offline mode)")
     parser.add_argument("--username", default=None, type=str)
@@ -113,7 +117,7 @@ def main(argv=None) -> int:
             "Select only projects, datasets, and files from the same group!")
 
     cfg = InferConfig(th_cell=args.thresholds[0], th_seed=args.thresholds[1],
-                      use_tiling=args.sliding_window)
+                      use_tiling=args.sliding_window, quantize=args.quantize)
     engine = InferenceEngine.from_checkpoint(Path(args.model), cfg=cfg)
     infer_dataset(store, image_ids, engine, model_name=Path(args.model).stem,
                   upload=args.upload, overwrite=args.overwrite,
