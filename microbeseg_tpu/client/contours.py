@@ -195,9 +195,12 @@ def roi_string_to_polygon(points: str) -> np.ndarray:
     """Parse 'x1,y1 x2,y2 ...' (allows 'x,y' with float values)."""
     # fast path: C-speed parse of the whole string (a 2048^2 frame holds
     # ~2K polygons x ~50 points; the per-token Python loop was measurable
-    # across a 2D+t stack)
-    toks = points.replace(";", " ").replace(",", " ").split()
-    if len(toks) % 2 == 0 and toks:
+    # across a 2D+t stack).  Only valid when every point token carries
+    # exactly one comma — 'x,y,z' tokens would otherwise reshape into
+    # scrambled pairs, so those fall through to the defensive parser.
+    normalized = points.replace(";", " ")
+    toks = normalized.replace(",", " ").split()
+    if toks and len(toks) == 2 * len(normalized.split()):
         try:
             return np.asarray(toks, dtype=np.float64).reshape(-1, 2)
         except ValueError:

@@ -412,7 +412,7 @@ class CropGenerator:
             # evenly strided frame subset: <=40% of frames, ~30 per
             # experiment (reference gui:2248-2251)
             if 0.4 * ref.size_t > 30:
-                stride = int(np.ceil(ref.size_t // 30))
+                stride = int(np.ceil(ref.size_t / 30))
             else:
                 stride = int(1 / 0.4)
             for t in range(0, ref.size_t, max(stride, 1)):
@@ -493,8 +493,11 @@ class CropGenerator:
         # counters + used entry (reference gui:2743-2744), persisted to the
         # trainset so a restarted session keeps deduping (gui:2782-2796)
         self.split_info["num_acc"] += 1
-        self.split_info["used"].append(
-            [int(crop.image_id), int(crop.frame), int(self.channel)])
+        # accepting several crops of one frame (keys 1/2/3) calls this once
+        # per crop — record the frame triple only once
+        entry = [int(crop.image_id), int(crop.frame), int(self.channel)]
+        if entry not in self.split_info["used"]:
+            self.split_info["used"].append(entry)
         if persist and self.trainset_id is not None:
             save_split_info(self.store, self.trainset_id, self.split_info)
         return iid

@@ -49,10 +49,14 @@ class InferenceEngine:
         if self.cfg.quantize and hasattr(model, "quantize"):
             # int8 forward: same param tree, eval-mode-only swap of the
             # large-spatial convs to the MXU int8 path (blocks.QuantConv);
-            # activation scales are calibrated once on the first real chunk
-            # (_ensure_quant_calibrated) so the steady-state quantize is
-            # fully fused — the dynamic-scale fallback measured neutral
-            self._quant_calibrated = "quant" in variables
+            # activation scales are calibrated per padded shape on the
+            # first real chunk of that shape (_ensure_quant_calibrated) so
+            # the steady-state quantize is fully fused — the dynamic-scale
+            # fallback measured neutral.  Per-SHAPE because the layer set
+            # that qualifies for int8 grows with frame size: calibrating
+            # only at 256^2 would leave the large-frame layers on the
+            # dynamic path forever.
+            self._quant_shapes: set = set()
             self.model = model.clone(quantize=True)
         self.mesh = mesh
         # None -> instance capacity scales with frame area (_seeds_cap);
@@ -81,22 +85,38 @@ class InferenceEngine:
 
     # ------------------------------------------------------------------
 
+    @property
+    def _quant_calibrated(self) -> bool:
+        return bool(getattr(self, "_quant_shapes", None))
+
     def _ensure_quant_calibrated(self, sample: np.ndarray) -> None:
-        """One-time int8 activation-scale calibration on a representative
-        chunk of NORMALIZED frames (b, h, w): records per-layer |x| maxima
-        into the 'quant' variable collection (blocks.QuantConv), after which
-        every jitted forward uses static scales and the quantize/dequant
-        passes fuse away.  Must run before the first _forward_fn build —
-        the jitted forwards close over self.variables."""
-        if not self.cfg.quantize or getattr(self, "_quant_calibrated", True):
+        """int8 activation-scale calibration on a representative chunk of
+        NORMALIZED frames (b, h, w): records per-layer |x| maxima into the
+        'quant' variable collection (blocks.QuantConv), after which every
+        jitted forward uses static scales and the quantize/dequant passes
+        fuse away.  Runs once PER PADDED SHAPE (larger frames quantize
+        more layers; maxima merge monotonically across shapes) and must
+        run before that shape's _forward_fn build — the jitted forwards
+        close over self.variables."""
+        if not self.cfg.quantize or not hasattr(self, "_quant_shapes"):
             return
-        x = jnp.asarray(np.asarray(sample[:4], np.float32)[..., None])
+        h, w = int(sample.shape[1]), int(sample.shape[2])
+        if (h, w) in self._quant_shapes:
+            return
+        # respect the engine's own activation-memory budget — a batch-4
+        # calibration at 2048^2 would blow past what _device_batch allows
+        b = max(1, min(4, self._device_batch(h, w), sample.shape[0]))
+        x = jnp.asarray(np.asarray(sample[:b], np.float32)[..., None])
         calib = jax.jit(partial(self.model.apply, train=False,
                                 mutable=["quant"]))
-        _, updated = calib(self.variables, x)
-        self.variables = {**self.variables, **jax.device_get(updated)}
-        self._forward_cache.clear()
-        self._quant_calibrated = True
+        try:
+            _, updated = calib(self.variables, x)
+            self.variables = {**self.variables, **jax.device_get(updated)}
+            self._forward_cache.clear()
+        except Exception as exc:  # OOM -> stay on the dynamic-scale path
+            if "RESOURCE_EXHAUSTED" not in str(exc):
+                raise
+        self._quant_shapes.add((h, w))
 
     def _forward_fn(self, pad_y: int, pad_x: int):
         """Jitted pad-cropping forward pass for one pad bucket."""
@@ -344,6 +364,20 @@ class InferenceEngine:
                 [chunk, jnp.zeros((bs - chunk.shape[0],) + chunk.shape[1:],
                                   chunk.dtype)])
 
+        def fetch(dst, device_masks):
+            # the np.asarray fetch is the first point that SYNCHRONIZES the
+            # device chain on this runtime (CLAUDE.md: block_until_ready
+            # does not actually block through the axon tunnel), so a
+            # RESOURCE_EXHAUSTED from the forward or post-processing
+            # surfaces HERE — map it to the reference's all-zero-mask
+            # fallback (infer.py:353-356) instead of crashing
+            try:
+                dst[...] = np.asarray(device_masks)[:dst.shape[0]]
+            except Exception as exc:
+                if "RESOURCE_EXHAUSTED" not in str(exc):
+                    raise
+                dst[...] = 0
+
         if self.label_type == "distance":
             border, cell = preds
             ts = jnp.float32(th_seed)
@@ -352,14 +386,12 @@ class InferenceEngine:
                 n = min(bs, T - s)
                 chunk_b = pad_tail(border[s:s + bs])
                 chunk_c = pad_tail(cell[s:s + bs])
-                masks[s:s + n] = np.asarray(
-                    post(chunk_b, chunk_c, ts, tc))[:n]
+                fetch(masks[s:s + n], post(chunk_b, chunk_c, ts, tc))
         else:
             (probs,) = preds
             for s in range(0, T, bs):
                 n = min(bs, T - s)
-                masks[s:s + n] = np.asarray(
-                    post(pad_tail(probs[s:s + bs])))[:n]
+                fetch(masks[s:s + n], post(pad_tail(probs[s:s + bs])))
         return masks[0] if squeeze else masks
 
     def _post_fn(self, max_seeds: int):

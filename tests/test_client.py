@@ -119,6 +119,14 @@ class TestContours:
         s = " ".join(f"{x},{y}" for x, y in poly)
         np.testing.assert_allclose(roi_string_to_polygon(s), poly)
 
+    def test_roi_string_extra_fields_take_slow_path(self):
+        """Tokens like 'x,y,z' must NOT hit the fast whole-string reshape
+        (an even total token count would silently scramble pairs): the
+        defensive parser takes x,y per token."""
+        s = "1,2,9 3,4,9"
+        np.testing.assert_allclose(roi_string_to_polygon(s),
+                                   [[1, 2], [3, 4]])
+
     def test_indices(self):
         m = np.array([[0, 2], [2, 3]])
         idx = get_indices_pandas(m)
@@ -474,6 +482,35 @@ class TestCropGenerator:
         assert store.get_map_annotation(cid)["set"] == "train"
         # crop named by the accepted-crop counter (reference gui:2726)
         assert store.get_image(cid).name == "img_000.tif"
+
+    def test_frame_cap_stride_large_experiment(self, tmp_path, rng):
+        """Experiments beyond the 30-frame cap stride at ceil(size_t/30)
+        so at most ~30 frames are offered (reference gui:2248-2251)."""
+        store = LocalStore(tmp_path)
+        did = store.create_dataset("exp")
+        stack = rng.integers(0, 65535, (80, 96, 96)).astype(np.uint16)
+        store.upload_image(did, "long.tif", stack)
+        gen = CropGenerator(store, crop_size=64, seed=0)
+        items = gen.crop_list(did)
+        # 0.4*80 = 32 > 30 -> stride ceil(80/30) = 3 -> 27 frames
+        assert len(items) == 27
+        assert sorted(t for _, t in items)[:3] == [0, 3, 6]
+
+    def test_upload_crop_records_frame_once(self, tmp_path, rng):
+        """Accepting several crops of one frame (keys 1/2/3) appends the
+        [id, frame, channel] triple to split_info['used'] only once."""
+        store = LocalStore(tmp_path)
+        did = store.create_dataset("exp")
+        stack = rng.integers(0, 65535, (1, 96, 200)).astype(np.uint16)
+        store.upload_image(did, "movie.tif", stack)
+        gen = CropGenerator(store, crop_size=64, seed=0)
+        crops = gen.next_crops(*gen.crop_list(did)[0])
+        assert len(crops) == 3
+        tid = store.create_dataset("trainset")
+        for i, crop in enumerate(crops):
+            gen.upload_crop(crop, tid, split_assignment(i))
+        assert gen.split_info["num_acc"] == 3
+        assert len(gen.split_info["used"]) == 1
 
     def test_split_assignment_pattern(self):
         # reference microbe_seg_gui.py:2848-2865: fixed first-8 order, then

@@ -302,6 +302,34 @@ class TestQuantConv:
         m2 = eng.segment(x)
         np.testing.assert_array_equal(m1, m2)
 
+    def test_engine_calibrates_per_shape(self, rng):
+        """Calibration is per padded shape: a second frame size triggers a
+        fresh calibration pass (larger frames quantize more layers) and
+        earlier per-layer maxima survive the merge."""
+        import jax
+        import jax.tree_util as tu
+
+        from microbeseg_tpu.config import InferConfig, ModelConfig
+        from microbeseg_tpu.inference.engine import InferenceEngine
+        from microbeseg_tpu.models.unet import build_unet
+
+        cfg = ModelConfig(filters=(8, 32), act_fun="mish",
+                          normalization="gn")
+        model = build_unet(cfg)
+        v = model.init(jax.random.PRNGKey(0),
+                       jax.numpy.zeros((1, 256, 256, 1)), train=False)
+        eng = InferenceEngine(model, v, "distance",
+                              cfg=InferConfig(quantize=True, batch_size=2))
+        eng.segment(rng.standard_normal((2, 256, 256)).astype(np.float32))
+        assert (256, 256) in eng._quant_shapes
+        n_amax = len(tu.tree_leaves(eng.variables["quant"]))
+        assert n_amax > 0
+        eng.segment(rng.standard_normal((2, 128, 128)).astype(np.float32))
+        assert (128, 128) in eng._quant_shapes
+        # the 128^2 pass quantizes no layers but must not wipe the 256^2
+        # calibration
+        assert len(tu.tree_leaves(eng.variables["quant"])) == n_amax
+
     def test_engine_calibrates_tiled_path(self, rng):
         """quantize + sliding-window tiling: calibration runs on the tile
         batch before the tiled forward is built."""
