@@ -19,6 +19,22 @@ def _gaussian_kernel1d(sigma: float, radius: int) -> jnp.ndarray:
     return phi / jnp.sum(phi)
 
 
+def _correlate1d(x: jnp.ndarray, k: jnp.ndarray, axis: int,
+                 radius: int) -> jnp.ndarray:
+    """Correlate along ``axis`` with a (2*radius+1,) kernel, scipy
+    'reflect' boundaries (np.pad mode='symmetric'), as a moving sum of
+    shifted slices (static unroll — no gather)."""
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (radius, radius)
+    xp = jnp.pad(x, pad, mode="symmetric")
+    out = jnp.zeros_like(x)
+    for i in range(2 * radius + 1):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(i, i + x.shape[axis])
+        out = out + k[i] * xp[tuple(sl)]
+    return out
+
+
 @partial(jax.jit, static_argnames=("sigma", "truncate"))
 def gaussian_filter(img: jnp.ndarray, sigma: float = 0.5,
                     truncate: float = 4.0) -> jnp.ndarray:
@@ -29,22 +45,8 @@ def gaussian_filter(img: jnp.ndarray, sigma: float = 0.5,
     k = _gaussian_kernel1d(float(sigma), radius)
     orig_dtype = img.dtype
     x = img.astype(jnp.float32)
-
-    def blur_axis(x, axis):
-        # reflect padding: scipy 'reflect' == np.pad mode='symmetric'
-        pad = [(0, 0)] * x.ndim
-        pad[axis] = (radius, radius)
-        xp = jnp.pad(x, pad, mode="symmetric")
-        # correlate along `axis` via moving sum of shifted slices
-        out = jnp.zeros_like(x)
-        for i in range(2 * radius + 1):
-            sl = [slice(None)] * x.ndim
-            sl[axis] = slice(i, i + x.shape[axis])
-            out = out + k[i] * xp[tuple(sl)]
-        return out
-
-    x = blur_axis(x, x.ndim - 2)
-    x = blur_axis(x, x.ndim - 1)
+    x = _correlate1d(x, k, x.ndim - 2, radius)
+    x = _correlate1d(x, k, x.ndim - 1, radius)
     return x.astype(orig_dtype)
 
 
@@ -61,18 +63,6 @@ def gaussian_blur_dynamic(img: jnp.ndarray, sigma: jnp.ndarray,
     t = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     phi = jnp.exp(-0.5 / (sigma * sigma) * t * t)
     k = phi / jnp.sum(phi)
-
-    def blur_axis(x, axis):
-        pad = [(0, 0)] * x.ndim
-        pad[axis] = (radius, radius)
-        xp = jnp.pad(x, pad, mode="symmetric")
-        out = jnp.zeros_like(x)
-        for i in range(2 * radius + 1):
-            sl = [slice(None)] * x.ndim
-            sl[axis] = slice(i, i + x.shape[axis])
-            out = out + k[i] * xp[tuple(sl)]
-        return out
-
-    x32 = blur_axis(x32, x32.ndim - 2)
-    x32 = blur_axis(x32, x32.ndim - 1)
+    x32 = _correlate1d(x32, k, x32.ndim - 2, radius)
+    x32 = _correlate1d(x32, k, x32.ndim - 1, radius)
     return x32.astype(img.dtype)

@@ -251,6 +251,47 @@ def _scatter_add(canvas, windows, sys_, sxs, S):
     return canvas
 
 
+def _slot_chunk(n_slots: int, window: int) -> int:
+    """Instance slots vmapped per scan step: caps the live per-instance
+    window memory at ~32 MB per buffer so large capacity x large window
+    combinations (2048 instances at 256^2 windows would be gigabytes if
+    vmapped at once) stay bounded."""
+    return max(1, min(n_slots, (8 << 20) // (window * window)))
+
+
+def _chunk_slots(n_slots: int, window: int, *arrays):
+    """Reshape (n_slots, ...) slot arrays to (n_chunks, chunk, ...) for a
+    lax.scan over chunks, zero-padding the tail (id-0 slots are inert)."""
+    c = _slot_chunk(n_slots, window)
+    n_pad = (-n_slots) % c
+    out = []
+    for a in arrays:
+        if n_pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros((n_pad,) + a.shape[1:], a.dtype)])
+        out.append(a.reshape(-1, c, *a.shape[1:]))
+    return out
+
+
+def _scan_scatter(one_fn, ids, cys, cxs, n_canvases, shape, window):
+    """scan(vmap(one_fn) -> scatter-add) over instance chunks: only one
+    chunk of (chunk, S, S) windows is ever live, instead of the full
+    (capacity, S, S) stack."""
+    ids_c, cys_c, cxs_c = _chunk_slots(ids.shape[0], window, ids, cys, cxs)
+
+    def step(canvases, xs):
+        i, y, x = xs
+        outs = jax.vmap(one_fn)(i, y, x)
+        wins, sy, sx = outs[:-2], outs[-2], outs[-1]
+        canvases = tuple(_scatter_add(cv, w, sy, sx, window)
+                         for cv, w in zip(canvases, wins))
+        return canvases, None
+
+    init = tuple(jnp.zeros(shape, jnp.float32) for _ in range(n_canvases))
+    canvases, _ = jax.lax.scan(step, init, (ids_c, cys_c, cxs_c))
+    return canvases
+
+
 def _closing_canvas(label, ids, cys, cxs, radius, S, se):
     """OR of per-instance binary closings (reference bottom_hat_closing
     :48-55 applies disk(3) closing per nucleus before the bottom hat)."""
@@ -263,8 +304,7 @@ def _closing_canvas(label, ids, cys, cxs, radius, S, se):
         closed = binary_closing(nucleus, se)
         return closed.astype(jnp.float32), sy, sx
 
-    wins, sys_, sxs = jax.vmap(one)(ids, cys, cxs)
-    canvas = _scatter_add(jnp.zeros((H, W), jnp.float32), wins, sys_, sxs, S)
+    (canvas,) = _scan_scatter(one, ids, cys, cxs, 1, (H, W), S)
     return canvas > 0
 
 
@@ -285,12 +325,9 @@ def distance_label_device(label: jnp.ndarray, radius: jnp.ndarray,
     cys = jnp.where(present, props.centroid[:, 0], 0.0)
     cxs = jnp.where(present, props.centroid[:, 1], 0.0)
 
-    cell_w, nb_w, sys_, sxs = jax.vmap(
-        lambda i, y, x: _one_instance(label, i, y, x, radius, window, chunk)
-    )(ids, cys, cxs)
-
-    label_dist = _scatter_add(jnp.zeros((H, W), jnp.float32), cell_w, sys_, sxs, window)
-    label_nb = _scatter_add(jnp.zeros((H, W), jnp.float32), nb_w, sys_, sxs, window)
+    label_dist, label_nb = _scan_scatter(
+        lambda i, y, x: _one_instance(label, i, y, x, radius, window, chunk),
+        ids, cys, cxs, 2, (H, W), window)
 
     # --- gap handling via bottom-hat closing (reference :332-354) ---
     se3 = disk(3)
@@ -318,9 +355,13 @@ def distance_label_device(label: jnp.ndarray, radius: jnp.ndarray,
     keep = (areas > 0) & (ring_sums >= th)          # artifact filter :337-350
     thick = gprops.minor_axis_length >= 3.0         # gap-integration :66-70
 
-    # base corr: 1.0 on kept gap pixels
-    gap_keep = keep[jnp.clip(gaps - 1, 0, max_gaps - 1)] & (gaps > 0)
-    gap_thick = thick[jnp.clip(gaps - 1, 0, max_gaps - 1)] & (gaps > 0)
+    # base corr: 1.0 on kept gap pixels.  relabel_sequential preserves ids
+    # beyond max_gaps (cc.py contract) — those overflow gaps have no
+    # keep/thick slot, so they are treated as filtered artifacts rather
+    # than aliased onto slot max_gaps-1 by the clip.
+    in_range = (gaps > 0) & (gaps <= max_gaps)
+    gap_keep = keep[jnp.clip(gaps - 1, 0, max_gaps - 1)] & in_range
+    gap_thick = thick[jnp.clip(gaps - 1, 0, max_gaps - 1)] & in_range
     corr = gap_keep.astype(jnp.float32)
     # thick gaps: interior 1.0, 1-px inner border 0.8 (reference :65-70)
     cross = generate_binary_structure(2, 1)
@@ -368,8 +409,7 @@ def cell_distance_label_device(label: jnp.ndarray, radius: jnp.ndarray,
             d = jnp.where(m > 0, d / jnp.maximum(m, 1e-12), d)
         return d, sy, sx
 
-    wins, sys_, sxs = jax.vmap(one)(ids, cys, cxs)
-    out = _scatter_add(jnp.zeros((H, W), jnp.float32), wins, sys_, sxs, window)
+    (out,) = _scan_scatter(one, ids, cys, cxs, 1, (H, W), window)
     if apply_clipping:
         out = jnp.clip(out, 0.0, clip_val) / clip_val
     return out.astype(jnp.float32)
@@ -379,7 +419,14 @@ def cell_distance_label_device(label: jnp.ndarray, radius: jnp.ndarray,
 # Host-facing dispatch (reference get_label :11-37)
 # ---------------------------------------------------------------------------
 
-def _bucket(n: int, buckets=(16, 32, 48, 64, 96, 128, 192, 256, 384, 512)) -> int:
+def _bucket(n: int, buckets=(16, 32, 48, 64, 96, 128, 192, 256, 384, 512,
+                             768, 1024, 1536, 2048, 3072, 4096, 6144,
+                             8192)) -> int:
+    """Smallest bucket >= n (saturating at the top).  Buckets extend to
+    8192 so neither the per-instance capacity (a 2048^2 frame can hold
+    thousands of cells) nor the window size (radius beyond 256) silently
+    saturates — instances past the cap would get ZERO labels and windows
+    smaller than 2*radius are truncated/mis-centered."""
     for b in buckets:
         if n <= b:
             return b
@@ -388,14 +435,12 @@ def _bucket(n: int, buckets=(16, 32, 48, 64, 96, 128, 192, 256, 384, 512)) -> in
 
 def max_major_axis_length(mask: np.ndarray) -> int:
     """ceil(max major axis) over instances (reference train.py:74-79)."""
-    ids = np.unique(mask)
-    ids = ids[ids > 0]
-    cap = _bucket(len(ids) + 1)
-    dense = np.searchsorted(ids, mask) + 1
-    dense = np.where(mask > 0, dense, 0).astype(np.int32)
-    props = regionprops(jnp.asarray(dense), max_labels=cap)
+    dense, n = _dense_relabel(mask)
+    if not n:
+        return 0
+    props = regionprops(jnp.asarray(dense), max_labels=_bucket(n + 1))
     mal = np.asarray(props.major_axis_length)
-    return int(np.ceil(mal.max())) if len(ids) else 0
+    return int(np.ceil(mal.max()))
 
 
 def _dense_relabel(mask: np.ndarray) -> Tuple[np.ndarray, int]:
@@ -425,16 +470,25 @@ def get_label(mask: np.ndarray, label_type: str, max_mal: int = 0):
     dense, n = _dense_relabel(mask)
     radius = int(np.ceil(0.75 * max_mal))
     H, W = mask.shape
-    window = min(_bucket(max(2 * radius, 8)), min(H, W))
+    # the (S, S) window must satisfy S >= 2*radius or the per-instance
+    # slice is truncated AND mis-centered (the clamped start can exclude
+    # the centroid on non-square images).  Rather than shrinking the
+    # window to min(H, W), pad the canvas up to the window size; the
+    # absurd-radius saturation case (> top bucket) clamps radius instead.
+    window = _bucket(max(2 * radius, 8))
+    radius = min(radius, window // 2)
+    Hp, Wp = max(H, window), max(W, window)
+    if (Hp, Wp) != (H, W):
+        dense = np.pad(dense, ((0, Hp - H), (0, Wp - W)))
     cap = max(_bucket(n + 1), 16)
     if label_type in ("cell_dist", "cell_dist_clipped"):
         out = cell_distance_label_device(
             jnp.asarray(dense), jnp.int32(radius), max_instances=cap,
             window=window, apply_clipping=(label_type == "cell_dist_clipped"))
-        return np.asarray(out)
+        return np.asarray(out[:H, :W])
     if label_type == "distance":
         cell, nb = distance_label_device(
             jnp.asarray(dense), jnp.int32(radius), max_instances=cap,
             window=window, max_gaps=max(cap, 64))
-        return np.asarray(cell), np.asarray(nb)
+        return np.asarray(cell[:H, :W]), np.asarray(nb[:H, :W])
     raise ValueError(f"Label type not known: {label_type!r}")

@@ -163,6 +163,12 @@ def distance_postprocessing(border_prediction: jnp.ndarray,
         labels = watershed_fast(-cell, seeds, mask)
     elif method == "pallas":
         from microbeseg_tpu.ops.pallas.flood import flood_or_fallback
+        if max_seeds >= (1 << 12):
+            # the packed key carries labels in 12 bits — a forced 'pallas'
+            # with a larger cap would silently corrupt level AND label
+            raise ValueError(
+                f"method='pallas' supports max_seeds < 4096, got {max_seeds}"
+                " (use method='auto'/'flood')")
         labels = flood_or_fallback(-cell, seeds, mask, n_levels=n_levels)
     else:
         labels = watershed(-cell, seeds, mask, n_levels=n_levels)

@@ -41,9 +41,6 @@ def regionprops(labels: jnp.ndarray, max_labels: int = 256) -> RegionProps:
     area = jax.ops.segment_sum(ones, seg, num_segments=n_seg)[:max_labels]
     sy = jax.ops.segment_sum(yy, seg, num_segments=n_seg)[:max_labels]
     sx = jax.ops.segment_sum(xx, seg, num_segments=n_seg)[:max_labels]
-    syy = jax.ops.segment_sum(yy * yy, seg, num_segments=n_seg)[:max_labels]
-    sxx = jax.ops.segment_sum(xx * xx, seg, num_segments=n_seg)[:max_labels]
-    sxy = jax.ops.segment_sum(xx * yy, seg, num_segments=n_seg)[:max_labels]
 
     safe_area = jnp.maximum(area, 1.0)
     cy = sy / safe_area
@@ -52,9 +49,23 @@ def regionprops(labels: jnp.ndarray, max_labels: int = 256) -> RegionProps:
 
     # Central second moments normalized by area (skimage inertia-tensor
     # convention: raw pixel-center moments, no pixel-extent correction).
-    mu20 = syy / safe_area - cy * cy
-    mu02 = sxx / safe_area - cx * cx
-    mu11 = sxy / safe_area - cy * cx
+    # Two-pass: deviations from the per-region centroid, NOT the
+    # E[y^2]-E[y]^2 shortcut — at full-frame coordinates (y ~ 2000 in a
+    # 2048^2 analysis frame) y^2 sums hit f32 ulp 512 and the subtraction
+    # cancels catastrophically, corrupting minor-axis lengths by tens of
+    # percent.  The per-pixel centroid lookup is a (max_labels+1,)-table
+    # gather (cheap, cf. the seed-prune table-gather path); all callers
+    # are per-crop label gen or per-frame analysis, not the serving loop.
+    cy_tab = jnp.concatenate([cy, jnp.zeros((1,), jnp.float32)])
+    cx_tab = jnp.concatenate([cx, jnp.zeros((1,), jnp.float32)])
+    dy = yy - cy_tab[seg]
+    dx = xx - cx_tab[seg]
+    mu20 = jax.ops.segment_sum(dy * dy, seg,
+                               num_segments=n_seg)[:max_labels] / safe_area
+    mu02 = jax.ops.segment_sum(dx * dx, seg,
+                               num_segments=n_seg)[:max_labels] / safe_area
+    mu11 = jax.ops.segment_sum(dx * dy, seg,
+                               num_segments=n_seg)[:max_labels] / safe_area
 
     common = jnp.sqrt(jnp.maximum((mu20 - mu02) ** 2 + 4.0 * mu11 ** 2, 0.0))
     l1 = (mu20 + mu02 + common) / 2.0

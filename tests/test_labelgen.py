@@ -91,6 +91,23 @@ class TestDistanceLabel:
         mask = touching_pair()
         assert labelgen.max_major_axis_length(mask) == _max_mal(mask)
 
+    def test_elongated_instance_nonsquare_image(self):
+        """An instance whose search window exceeds min(H, W) must still get
+        a full, centered window: get_label pads the canvas to the window
+        bucket instead of shrinking the window (a shrunken window was
+        truncated AND could exclude the centroid on non-square images)."""
+        mask = np.zeros((96, 320), np.uint16)
+        mask[40:46, 60:260] = 1          # 200-px bar: radius 150 > 96/2
+        mask[20:30, 280:300] = 2         # a neighbor
+        max_mal = _max_mal(mask)
+        radius = int(np.ceil(0.75 * max_mal))
+        assert 2 * radius > 96           # the old min(H, W) clamp would bite
+        ref_cell, ref_nb = distance_label_oracle(mask, radius)
+        cell, nb = labelgen.get_label(mask, "distance", max_mal=max_mal)
+        assert cell.shape == mask.shape
+        np.testing.assert_allclose(cell, ref_cell, atol=2e-3)
+        np.testing.assert_allclose(nb, ref_nb, atol=2e-3)
+
 
 class TestOtherLabels:
     def test_j4_runs(self):

@@ -148,6 +148,28 @@ class TestRegionprops:
                                        o["equivalent_diameter"], rtol=1e-5)
 
 
+class TestRegionpropsPrecision:
+    def test_axes_stable_at_far_coordinates(self):
+        """Central moments must not cancel catastrophically at large frame
+        coordinates (analysis runs regionprops on full frames): the same
+        3-px-wide bar near (2000, 2000) must report the same axis lengths
+        as one at the origin."""
+        import jax.numpy as jnp
+
+        far = np.zeros((2048, 2048), np.int32)
+        far[2000:2003, 1960:2000] = 1
+        near = np.zeros((64, 64), np.int32)
+        near[5:8, 10:50] = 1
+        p_far = regionprops(jnp.asarray(far), max_labels=4)
+        p_near = regionprops(jnp.asarray(near), max_labels=4)
+        np.testing.assert_allclose(
+            np.asarray(p_far.minor_axis_length)[0],
+            np.asarray(p_near.minor_axis_length)[0], rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(p_far.major_axis_length)[0],
+            np.asarray(p_near.major_axis_length)[0], rtol=1e-4)
+
+
 class TestWatershed:
     def _cells(self, rng, shape=(64, 64), centers=((20, 20), (20, 40), (44, 30))):
         """Synthetic cell-distance-like field: per-center cones."""
@@ -169,6 +191,23 @@ class TestWatershed:
         np.testing.assert_array_equal(ours > 0, np.asarray(ref) > 0)
         assert len(np.unique(ours)) == len(np.unique(ref))
         assert masks_iou(ours, ref) > 0.99
+
+    def test_floods_beyond_fixed_budget(self):
+        """A serpentine 1-px channel with geodesic length >> 768 must flood
+        completely: the cleanup bound is the true geodesic H*W, not the old
+        fixed 512 (which left far pixels unlabeled on sparse-seeded
+        frames)."""
+        H, W = 48, 49
+        mask = np.zeros((H, W), bool)
+        for r in range(0, H, 2):
+            mask[r, :W - 1] = True
+            if r + 1 < H:
+                mask[r + 1, W - 2 if (r // 2) % 2 == 0 else 0] = True
+        seeds = np.zeros((H, W), np.int32)
+        seeds[0, 0] = 1
+        img = np.zeros((H, W), np.float32)
+        out = np.asarray(watershed(img, seeds, mask))
+        np.testing.assert_array_equal(out > 0, mask)
 
     def test_respects_mask_and_markers(self, rng):
         cell = self._cells(rng, centers=((30, 30),))
