@@ -25,23 +25,65 @@ from microbeseg_tpu.training.workers import create_labels
 from microbeseg_tpu.utils.tiff import imwrite
 
 
-def synth_sample(rng, size=128, n_blobs=10):
-    """Synthetic microscopy-like crop: bright roundish cells + noise."""
+def synth_sample(rng, size=128, n_blobs=10, shape="ellipse"):
+    """Synthetic microscopy-like crop: bright cells + noise.
+
+    ``shape='ellipse'`` places axis-aligned ellipses (round cocci-like
+    cells); ``shape='rods'`` places rotated capsules that frequently
+    continue into touching end-to-end chains — the morphology of the
+    rod-shaped bacteria (E. coli / B. subtilis) the reference targets,
+    and the hard case for neighbor-distance separation of touching cells
+    (reference train_data_representations.py:300-330)."""
     yy, xx = np.mgrid[0:size, 0:size]
     mask = np.zeros((size, size), np.uint16)
     img = rng.normal(6000, 300, (size, size))
     label = 0
-    for _ in range(n_blobs):
-        ry, rx = rng.integers(6, 14, 2)
-        cy = rng.integers(ry + 2, size - ry - 2)
-        cx = rng.integers(rx + 2, size - rx - 2)
-        blob = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1
-        if (mask[blob] > 0).mean() > 0.2:
-            continue
+
+    def place(d_norm, blob):
+        nonlocal label
+        if not blob.any() or (mask[blob] > 0).mean() > 0.2:
+            return False
         label += 1
         mask[blob & (mask == 0)] = label
-        d = np.sqrt(((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2)
-        img += np.where(blob, 25000 * np.clip(1.2 - d, 0, 1.2), 0)
+        img[...] += np.where(blob, 25000 * np.clip(1.2 - d_norm, 0, 1.2), 0)
+        return True
+
+    def capsule(cy, cx, theta, half, r):
+        """Normalized distance field of a capsule (segment dilated by r)."""
+        uy, ux = np.cos(theta), np.sin(theta)
+        t = np.clip((yy - cy) * uy + (xx - cx) * ux, -half, half)
+        d = np.hypot(yy - cy - t * uy, xx - cx - t * ux) / r
+        return d
+
+    if shape == "rods":
+        for _ in range(n_blobs):
+            r = rng.integers(3, 6)
+            half = rng.integers(6, 16)  # centerline half-length
+            theta = rng.uniform(0, np.pi)
+            cy = rng.integers(half + r + 1, size - half - r - 1)
+            cx = rng.integers(half + r + 1, size - half - r - 1)
+            links = 1 + (rng.random() < 0.5) + (rng.random() < 0.25)
+            for _ in range(links):  # end-to-end chain of touching rods
+                d = capsule(cy, cx, theta, half, r)
+                place(d, d <= 1)
+                theta2 = theta + rng.uniform(-0.35, 0.35)
+                step = half + r  # tip of this rod = tip of the next: touching
+                cy = cy + int(round(step * np.cos(theta) +
+                                    (half + r) * np.cos(theta2)))
+                cx = cx + int(round(step * np.sin(theta) +
+                                    (half + r) * np.sin(theta2)))
+                theta = theta2
+                lim_y = half + r + 1
+                if not (lim_y <= cy < size - lim_y and
+                        lim_y <= cx < size - lim_y):
+                    break
+    else:
+        for _ in range(n_blobs):
+            ry, rx = rng.integers(6, 14, 2)
+            cy = rng.integers(ry + 2, size - ry - 2)
+            cx = rng.integers(rx + 2, size - rx - 2)
+            d = np.sqrt(((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2)
+            place(d, d <= 1)
     img = img + rng.normal(0, 400, img.shape)
     # trainset crops are full-range uint16 (the reference's export
     # renormalizes with stored min/max, data_export.py:99-101; training then
@@ -65,6 +107,10 @@ def main():
                         choices=("distance", "boundary"),
                         help="label/method family (boundary = the 3-class "
                              "baseline, reference train.py)")
+    parser.add_argument("--shape", default="ellipse",
+                        choices=("ellipse", "rods"),
+                        help="synthetic cell morphology: round cocci-like "
+                             "ellipses or rotated rod/chain capsules")
     parser.add_argument("--normalization", default="gn",
                         choices=("bn", "gn", "in"),
                         help="'bn' is the reference default "
@@ -88,7 +134,8 @@ def main():
                      ("test", max(4, args.n_train // 6))):
         (data_dir / split).mkdir(parents=True)
         for i in range(n):
-            img, mask = synth_sample(rng, size=cs, n_blobs=n_blobs)
+            img, mask = synth_sample(rng, size=cs, n_blobs=n_blobs,
+                                     shape=args.shape)
             imwrite(data_dir / split / f"img_{split}{i:02d}.tif", img)
             imwrite(data_dir / split / f"mask_{split}{i:02d}.tif", mask)
     print("trainset written", flush=True)
@@ -125,7 +172,8 @@ def main():
     print(df.to_string(index=False), flush=True)
 
     # 5. 2D+t stack inference with tiling
-    stack = np.stack([synth_sample(rng, size=400, n_blobs=60)[0]
+    stack = np.stack([synth_sample(rng, size=400, n_blobs=60,
+                                   shape=args.shape)[0]
                       for _ in range(4)])
     engine = InferenceEngine.from_checkpoint(
         models_dir / run_name,

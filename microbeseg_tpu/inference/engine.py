@@ -6,15 +6,19 @@ pulls raw predictions to the host, and runs CPU watershed per frame.  Here:
 
 - frames/crops are batched along the leading axis and sharded over the
   'data' mesh axis when a multi-device mesh is provided;
-- pad -> normalize -> forward -> de-pad -> post-process is one jit per pad
-  bucket (static pad sizes come from the bucket table, so a handful of
-  executables cover every input size);
+- RAW frames cross the host->device boundary ONCE at their native dtype
+  (uint16 microscopy stacks upload at half the float32 bytes); dtype
+  conversion, CLAHE, per-frame min/max normalization, scaling, padding,
+  forward and de-padding are ONE fused jit per pad bucket, so the 1-core
+  host does no per-pixel work at all;
 - images larger than the bucket table stream through sliding-window tiling
-  with feathered stitching (tiling.py) — the reference raises instead.
+  with device-side tile extraction and feathered stitching (tiling.py) —
+  the reference raises instead.
 """
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from pathlib import Path
 from typing import Dict, Optional, Tuple
@@ -23,8 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from microbeseg_tpu.config import InferConfig, PAD_BUCKETS
-from microbeseg_tpu.inference.tiling import extract_tiles, stitch_tiles_device
+from microbeseg_tpu.config import InferConfig
+from microbeseg_tpu.inference.tiling import (
+    extract_tiles,
+    stitch_tiles_device,
+    tile_positions,
+)
 from microbeseg_tpu.models.io import load_model
 from microbeseg_tpu.ops.augment import clahe
 from microbeseg_tpu.ops.postprocessing import (
@@ -119,7 +127,9 @@ class InferenceEngine:
         self._quant_shapes.add((h, w))
 
     def _forward_fn(self, pad_y: int, pad_x: int):
-        """Jitted pad-cropping forward pass for one pad bucket."""
+        """Jitted pad-cropping forward pass on already-NORMALIZED input
+        (used by the tiled path, whose prep runs in a separate device
+        stage so frame-global min/max precede tile extraction)."""
         key = (pad_y, pad_x)
         if key in self._forward_cache:
             return self._forward_cache[key]
@@ -145,15 +155,122 @@ class InferenceEngine:
         self._forward_cache[key] = fn
         return fn
 
+    def _prep_ops(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Traced pre-processing: raw (B, H, W) frames (any uploaded dtype)
+        -> float32 normalized to [-1, 1].  Mirrors the host reference chain
+        `_normalize_batch` exactly: optional CLAHE on the [0, 1]-rescaled
+        frame (reference ContrastEnhancement, inference_dataset.py:50-66),
+        then per-frame min/max to [-1, 1] (reference Normalization,
+        :69-78); a constant frame maps to all-zero like
+        utils.min_max_normalization."""
+        x = x.astype(jnp.float32)
+        if self.cfg.apply_clahe:
+            mn = x.min(axis=(1, 2), keepdims=True)
+            mx = x.max(axis=(1, 2), keepdims=True)
+            x01 = (x - mn) / jnp.maximum(mx - mn, 1e-7)
+            x = jax.vmap(clahe)(x01) * 65535.0
+        mn = x.min(axis=(1, 2), keepdims=True)
+        mx = x.max(axis=(1, 2), keepdims=True)
+        denom = mx - mn
+        return jnp.where(denom > 0,
+                         2.0 * (x - mn) / jnp.maximum(denom, 1e-7) - 1.0,
+                         0.0)
+
+    def _fused_forward_fn(self, h: int, w: int, dtype_key: str):
+        """One fused jit for the bucket path: raw (B, h, w) frames ->
+        de-padded predictions at (B, h, w).  Fuses dtype conversion, CLAHE,
+        per-frame normalization, optional down/up-scaling, bucket padding
+        (-1 = normalized frame minimum, reference inference_dataset.py:96-104)
+        and the forward pass, so only raw frames go up and only predictions
+        stay on device — the 1-core host touches no pixels."""
+        key = ("fused", h, w, dtype_key)
+        if key in self._forward_cache:
+            return self._forward_cache[key]
+
+        scale = self.cfg.scale_factor
+        sh = max(int(round(h * scale)), 1) if scale < 1 else h
+        sw = max(int(round(w * scale)), 1) if scale < 1 else w
+        th, tw = pad_bucket_shape(sh, sw)
+        pad_y, pad_x = th - sh, tw - sw
+        model, variables = self.model, self.variables
+        label_type = self.label_type
+
+        def forward(raw):
+            x = self._prep_ops(raw)
+            if scale < 1:
+                # reference Scaling: order-2 down (inference_dataset.py:
+                # 107-126); predictions come back up bilinearly
+                x = jax.image.resize(x, (x.shape[0], sh, sw), "cubic")
+            x = jnp.pad(x, ((0, 0), (pad_y, 0), (pad_x, 0)),
+                        constant_values=-1.0)
+            preds = model.apply(variables, x[..., None], train=False)
+            if label_type == "distance":
+                border, cell = preds
+                border = border[:, pad_y:, pad_x:, 0]
+                cell = cell[:, pad_y:, pad_x:, 0]
+                if scale < 1:
+                    out = (border.shape[0], h, w)
+                    border = jax.image.resize(border, out, "linear")
+                    cell = jax.image.resize(cell, out, "linear")
+                return border, cell
+            probs = jax.nn.softmax(preds, axis=-1)[:, pad_y:, pad_x:, :]
+            if scale < 1:
+                probs = jax.image.resize(
+                    probs, (probs.shape[0], h, w, probs.shape[-1]), "linear")
+            return probs
+
+        if self.mesh is not None:
+            fn = jax.jit(forward, in_shardings=batch_sharding(self.mesh))
+        else:
+            fn = jax.jit(forward)
+        self._forward_cache[key] = fn
+        return fn
+
+    def _extract_fn(self, tile: int, pos):
+        """Jitted device tile extraction: normalized (B, H, W) frames ->
+        (B, n_tiles, tile, tile) via a scan of dynamic slices (row-granular
+        reads — contiguous rectangles, nearly free on TPU)."""
+        key = ("tiles", tile, tuple(pos))
+        if key in self._forward_cache:
+            return self._forward_cache[key]
+        ys = jnp.asarray([p[0] for p in pos], jnp.int32)
+        xs = jnp.asarray([p[1] for p in pos], jnp.int32)
+
+        def extract(frames):
+            def one(frame):
+                def get(_, yx):
+                    y, x = yx
+                    return None, jax.lax.dynamic_slice(
+                        frame, (y, x), (tile, tile))
+                _, tiles = jax.lax.scan(get, None, (ys, xs))
+                return tiles
+            return jax.vmap(one)(frames)
+
+        fn = jax.jit(extract)
+        self._forward_cache[key] = fn
+        return fn
+
     # ------------------------------------------------------------------
+
+    # dtypes that upload as-is: raw microscopy frames cross the ~25 ms-
+    # latency tunnel at their native width (uint16 = half the float32
+    # bytes); anything else falls back to float32 host-side
+    _UPLOAD_DTYPES = frozenset(
+        ("uint8", "uint16", "int16", "int32", "float32"))
+
+    def _canon_frames(self, frames: np.ndarray) -> np.ndarray:
+        if str(frames.dtype) in self._UPLOAD_DTYPES:
+            return frames
+        return frames.astype(np.float32)
 
     def _normalize_batch(self, frames: np.ndarray) -> np.ndarray:
         """Per-frame min/max normalization to [-1, 1] (reference
         infer.py:253,346), optional CLAHE pre-enhancement.
 
-        CLAHE runs vmapped over the whole stack in ONE device call — the
-        per-frame loop cost one ~25 ms tunnel round-trip per frame on this
-        hardware (host<->device latency dominates at stack lengths)."""
+        HOST-SIDE REFERENCE PATH: the hot pipeline normalizes on device
+        inside the fused forward (`_prep_ops`); this copy exists for int8
+        calibration samples and as the golden reference the device prep is
+        tested against."""
         if self.cfg.apply_clahe:
             f = np.asarray(frames, np.float32)
             fmin = f.min(axis=(1, 2), keepdims=True)
@@ -196,54 +313,43 @@ class InferenceEngine:
         them straight into on-device post-processing, so predictions never
         bounce to the host between stages (each bounce costs a full-frame
         transfer over the ~25 ms tunnel — at 2048^2+ transfers, not compute,
-        dominated the round-2 tiled path)."""
+        dominated the round-2 tiled path).  The stack uploads ONCE at its
+        native dtype; all pre-processing runs on device."""
         frames = np.asarray(frames)
         if frames.ndim == 2:
             frames = frames[None]
-        T, H0, W0 = frames.shape
-        norm = self._normalize_batch(frames)
+        frames = self._canon_frames(frames)
+        T, H, W = frames.shape
         scale = self.cfg.scale_factor
-        if scale < 1:
-            sh = max(int(round(H0 * scale)), 1)
-            sw = max(int(round(W0 * scale)), 1)
-            norm = np.asarray(self._rescale(norm, (sh, sw), "cubic"))
-        preds = self._predict_normalized(norm)
-        if scale < 1:
-            preds = tuple(self._rescale(p, (H0, W0), "linear") for p in preds)
-        return preds
-
-    def _predict_normalized(self, norm: np.ndarray) -> Tuple[jnp.ndarray, ...]:
-        """Forward pass on already-normalized (T, H, W) frames; outputs stay
-        on device."""
-        T, H, W = norm.shape
+        sh = max(int(round(H * scale)), 1) if scale < 1 else H
+        sw = max(int(round(W * scale)), 1) if scale < 1 else W
         try:
-            th, tw = pad_bucket_shape(H, W)
+            th, tw = pad_bucket_shape(sh, sw)
             tiled = False
         except ValueError:
             tiled = True
         if tiled or (self.cfg.use_tiling and
-                     max(H, W) > self.cfg.tile_size):
-            return self._predict_tiled(norm)
+                     max(sh, sw) > self.cfg.tile_size):
+            return self._predict_tiled(frames)
+        return self._predict_bucket(frames, sh, sw, th, tw)
 
-        pad_y, pad_x = th - H, tw - W
-        # pad with the normalized image minimum (-1): the reference pads the
-        # image with img.min() AFTER [-1,1] normalization
-        # (inference_dataset.py:96-104 Padding pad_val=np.min(img),
-        # infer.py:256 via zero_pad_model_input on the raw frame minimum)
-        padded = np.pad(norm, ((0, 0), (pad_y, 0), (pad_x, 0)),
-                        constant_values=-1.0)
-        self._ensure_quant_calibrated(padded)
-        fwd = self._forward_fn(pad_y, pad_x)
-
-        outs = []
+    def _predict_bucket(self, frames: np.ndarray, sh: int, sw: int,
+                        th: int, tw: int) -> Tuple[jnp.ndarray, ...]:
+        """Bucket-pad path: one raw upload, then fused prep+forward chunks
+        (one executable per (frame shape, dtype))."""
+        T, H, W = frames.shape
+        self._maybe_calibrate_bucket(frames, sh, sw, th, tw)
+        fwd = self._fused_forward_fn(H, W, str(frames.dtype))
         bs = self._device_batch(th, tw)
+        raw = jnp.asarray(frames)  # ONE transfer, native dtype
         n_pad = (-T) % bs
-        padded = np.concatenate(
-            [padded, np.zeros((n_pad, th, tw), np.float32)]) if n_pad else padded
-        for s in range(0, padded.shape[0], bs):
-            chunk = jnp.asarray(padded[s:s + bs][..., None])
+        if n_pad:
+            raw = jnp.concatenate(
+                [raw, jnp.zeros((n_pad, H, W), raw.dtype)])
+        outs = []
+        for s in range(0, T + n_pad, bs):
             try:
-                out = fwd(chunk)
+                out = fwd(raw[s:s + bs])
                 jax.block_until_ready(out)  # surface OOM at this chunk
                 outs.append(out)
             except Exception as exc:  # OOM fallback: zero predictions for
@@ -261,6 +367,22 @@ class InferenceEngine:
         probs = jnp.concatenate(outs)[:T]
         return (probs,)
 
+    def _maybe_calibrate_bucket(self, frames: np.ndarray, sh: int, sw: int,
+                                th: int, tw: int) -> None:
+        """int8 calibration sample for the bucket path, built through the
+        host reference chain (normalize -> scale -> pad) so it matches what
+        the fused forward computes on device."""
+        if not (self.cfg.quantize and hasattr(self, "_quant_shapes")):
+            return
+        if (th, tw) in self._quant_shapes:
+            return
+        norm = self._normalize_batch(np.asarray(frames[:4]))
+        if (sh, sw) != norm.shape[1:]:
+            norm = np.asarray(self._rescale(norm, (sh, sw), "cubic"))
+        padded = np.pad(norm, ((0, 0), (th - sh, 0), (tw - sw, 0)),
+                        constant_values=-1.0)
+        self._ensure_quant_calibrated(padded)
+
 
     def _device_batch(self, h: int, w: int) -> int:
         """Frames/tiles per device call, scaled by area so the activation
@@ -273,65 +395,110 @@ class InferenceEngine:
         return max(1, min(self.cfg.batch_size,
                           (self.cfg.batch_size * 2 * 256 * 256) // area))
 
-    def _predict_tiled(self, norm_frames: np.ndarray) -> Tuple[jnp.ndarray, ...]:
+    def _predict_tiled(self, frames: np.ndarray) -> Tuple[jnp.ndarray, ...]:
         """Sliding-window path for images beyond the pad-bucket table.
 
-        ``norm_frames`` are already normalized to [-1, 1].  Fully
-        device-resident: tiles upload once (chunked), predictions stay on
-        device, stitching is a scan of row-granular dynamic-slice updates,
-        and the stitched maps feed post-processing without a host bounce —
-        the round-2 version fetched per-tile predictions and stitched in
-        float64 numpy on the 1-core host, which made 2048^2+ frames
-        transfer-bound over the tunnel."""
+        ``frames`` are RAW (canonicalized dtype).  Fully device-resident:
+        the raw stack uploads ONCE at native dtype (uint16 = half the f32
+        bytes, and no halo duplication on the wire — host-extracted f32
+        tiles cost ~2.6x the transfer); per frame-chunk a prep jit
+        normalizes with frame-global min/max, tiles are carved on device by
+        dynamic-slice scan, predictions stitch on device (feathered), and
+        only the final maps feed post-processing.  Memory stays bounded by
+        processing frame chunks end-to-end instead of holding every tile."""
         tile = self.cfg.tile_size
         overlap = self.cfg.tile_overlap
-        T, H, W = norm_frames.shape
-        if min(H, W) < tile:
+        T, H, W = frames.shape
+        scale = self.cfg.scale_factor
+        sh = max(int(round(H * scale)), 1) if scale < 1 else H
+        sw = max(int(round(W * scale)), 1) if scale < 1 else W
+        if min(sh, sw) < tile:
             raise ValueError(
-                f"image {H}x{W} smaller than tile {tile}; shrink tile_size")
-        bs = self._device_batch(tile, tile)
+                f"image {sh}x{sw} smaller than tile {tile}; shrink tile_size")
+        ys = tile_positions(sh, tile, overlap)
+        xs = tile_positions(sw, tile, overlap)
+        pos = [(y, x) for y in ys for x in xs]
+        n = len(pos)
+        bs_tile = self._device_batch(tile, tile)
+        # frames per chunk: a multiple of bs_tile worth of tiles when
+        # possible (zero forward padding waste), capped by a tile-memory
+        # budget and the stack length
+        ideal = bs_tile // math.gcd(n, bs_tile)
+        budget = max(bs_tile, (256 << 20) // (tile * tile * 4))
+        bs0 = max(1, min(ideal, max(1, budget // n), T))
 
-        # collect tiles across ALL frames so the device sees full batches
-        # regardless of per-frame tile counts (the spatial tiles ride the
-        # batch axis, which is also the mesh-sharded axis)
-        all_tiles, all_pos = [], []
-        for t in range(T):
-            frame_tiles, pos = extract_tiles(norm_frames[t], tile, overlap)
-            all_tiles.append(frame_tiles)
-            all_pos.extend(pos)
-        tiles = np.concatenate(all_tiles)
-        n = tiles.shape[0]
-        n_pad = (-n) % bs
-        if n_pad:
-            tiles = np.concatenate(
-                [tiles, np.zeros((n_pad, tile, tile), np.float32)])
-        self._ensure_quant_calibrated(tiles)
+        self._maybe_calibrate_tiles(frames, tile, overlap, sh, sw)
+        prep = self._prep_fn(H, W, str(frames.dtype))
+        extract = self._extract_fn(tile, pos)
         fwd = self._forward_fn(0, 0)
-        preds = []
-        for s in range(0, tiles.shape[0], bs):
-            chunk = jnp.asarray(tiles[s:s + bs][..., None])
-            preds.append(fwd(chunk))
 
-        # every frame has the same (H, W), hence the same tile layout: the
-        # flat tile axis reshapes to (T, tiles_per_frame, tile, tile) and
-        # stitching runs on device, vmapped over frames
-        per_frame = len(all_pos) // T
-        pos_t = all_pos[:per_frame]
-        if self.label_type == "distance":
-            border_all = jnp.concatenate([p[0] for p in preds])[:n]
-            cell_all = jnp.concatenate([p[1] for p in preds])[:n]
-            borders = stitch_tiles_device(
-                border_all.reshape(T, per_frame, tile, tile), pos_t, (H, W))
-            cells = stitch_tiles_device(
-                cell_all.reshape(T, per_frame, tile, tile), pos_t, (H, W))
-            return borders, cells
-        probs_all = jnp.concatenate(preds)[:n]
-        # channels ride the stitch batch axis: (T*3, n, tile, tile)
-        chan_major = jnp.moveaxis(
-            probs_all.reshape(T, per_frame, tile, tile, 3), -1, 1)
-        stitched = stitch_tiles_device(
-            chan_major.reshape(T * 3, per_frame, tile, tile), pos_t, (H, W))
-        return (jnp.moveaxis(stitched.reshape(T, 3, H, W), 1, -1),)
+        raw = jnp.asarray(frames)  # ONE transfer, native dtype
+        n_pad0 = (-T) % bs0
+        if n_pad0:
+            raw = jnp.concatenate(
+                [raw, jnp.zeros((n_pad0, H, W), raw.dtype)])
+
+        stitched = []
+        for s in range(0, T + n_pad0, bs0):
+            norm = prep(raw[s:s + bs0])              # (bs0, H, W) on device
+            if scale < 1:
+                norm = jax.image.resize(norm, (bs0, sh, sw), "cubic")
+            flat = extract(norm).reshape(bs0 * n, tile, tile)
+            m = bs0 * n
+            pad_t = (-m) % bs_tile
+            if pad_t:
+                flat = jnp.concatenate(
+                    [flat, jnp.zeros((pad_t, tile, tile), flat.dtype)])
+            preds = [fwd(flat[ts:ts + bs_tile][..., None])
+                     for ts in range(0, m + pad_t, bs_tile)]
+            if self.label_type == "distance":
+                b_all = jnp.concatenate(
+                    [p[0] for p in preds])[:m].reshape(bs0, n, tile, tile)
+                c_all = jnp.concatenate(
+                    [p[1] for p in preds])[:m].reshape(bs0, n, tile, tile)
+                stitched.append((stitch_tiles_device(b_all, pos, (sh, sw)),
+                                 stitch_tiles_device(c_all, pos, (sh, sw))))
+            else:
+                probs = jnp.concatenate(preds)[:m].reshape(
+                    bs0, n, tile, tile, 3)
+                # channels ride the stitch batch axis: (bs0*3, n, tile, tile)
+                chan = jnp.moveaxis(probs, -1, 1).reshape(
+                    bs0 * 3, n, tile, tile)
+                sp = stitch_tiles_device(chan, pos, (sh, sw))
+                stitched.append(
+                    (jnp.moveaxis(sp.reshape(bs0, 3, sh, sw), 1, -1),))
+
+        parts = tuple(jnp.concatenate([c[i] for c in stitched])[:T]
+                      for i in range(len(stitched[0])))
+        if scale < 1:
+            parts = tuple(
+                jax.image.resize(p, (T, H, W) + p.shape[3:], "linear")
+                for p in parts)
+        return parts
+
+    def _prep_fn(self, h: int, w: int, dtype_key: str):
+        """Jitted `_prep_ops` for the tiled path (frame-global min/max must
+        precede tile extraction)."""
+        key = ("prep", h, w, dtype_key)
+        if key in self._forward_cache:
+            return self._forward_cache[key]
+        fn = jax.jit(self._prep_ops)
+        self._forward_cache[key] = fn
+        return fn
+
+    def _maybe_calibrate_tiles(self, frames: np.ndarray, tile: int,
+                               overlap: int, sh: int, sw: int) -> None:
+        """int8 calibration sample for the tiled path: host-built tiles of
+        the first frame through the reference normalize chain."""
+        if not (self.cfg.quantize and hasattr(self, "_quant_shapes")):
+            return
+        if (tile, tile) in self._quant_shapes:
+            return
+        norm = self._normalize_batch(np.asarray(frames[:1]))
+        if (sh, sw) != norm.shape[1:]:
+            norm = np.asarray(self._rescale(norm, (sh, sw), "cubic"))
+        tiles, _ = extract_tiles(norm[0], tile, overlap)
+        self._ensure_quant_calibrated(tiles)
 
     # ------------------------------------------------------------------
 

@@ -166,6 +166,51 @@ class TestEngine:
         assert post._cache_size() == n0  # thresholds are traced, not baked in
 
 
+class TestDevicePrep:
+    """The fused device pre-processing (`_prep_ops`) must match the host
+    reference chain (`_normalize_batch`) bit-for-bit-ish: raw frames now
+    upload at native dtype and normalize on device."""
+
+    def test_device_prep_matches_host_reference(self, rng):
+        import jax.numpy as jnp
+        frames = (rng.random((3, 40, 56)) * 60000).astype(np.uint16)
+        frames[2] = 1234  # constant frame -> all-zero, like the host path
+        for apply_clahe in (False, True):
+            eng = InferenceEngine(AnalyticModel(), {}, "distance",
+                                  cfg=InferConfig(apply_clahe=apply_clahe))
+            host = eng._normalize_batch(frames)
+            dev = np.asarray(
+                eng._prep_fn(40, 56, "uint16")(jnp.asarray(frames)))
+            np.testing.assert_allclose(dev, host, atol=1e-4)
+            assert np.all(dev[2] == 0.0)
+
+    def test_raw_dtype_upload_equivalence(self, rng):
+        """uint16 frames upload as-is (half the bytes); exotic dtypes fall
+        back to float32 — predictions must be identical."""
+        frames = _frames_from_blobs(rng, n=2, shape=(60, 70))
+        eng = InferenceEngine(AnalyticModel(), {}, "distance",
+                              cfg=InferConfig(batch_size=2))
+        _, c16 = eng.predict_raw(frames)
+        _, cf = eng.predict_raw(frames.astype(np.float64))
+        np.testing.assert_allclose(c16, cf, atol=1e-6)
+
+    def test_tiled_with_scale_matches_bucket(self, rng):
+        """scale_factor composes with the tiled path (both resize the
+        normalized frames identically; the analytic model is
+        shift-invariant, so stitched == bucket)."""
+        frames = _frames_from_blobs(rng, n=1, shape=(128, 128))
+        tiled = InferenceEngine(
+            AnalyticModel(), {}, "distance",
+            cfg=InferConfig(use_tiling=True, tile_size=32, tile_overlap=16,
+                            scale_factor=0.5, batch_size=2))
+        bucket = InferenceEngine(AnalyticModel(), {}, "distance",
+                                 cfg=InferConfig(scale_factor=0.5))
+        til_b, til_c = tiled.predict_raw(frames)
+        assert til_c.shape == (1, 128, 128)
+        _, full_c = bucket.predict_raw(frames)
+        np.testing.assert_allclose(til_c, full_c, atol=1e-4)
+
+
 class TestEvaluatorArtifacts:
     def test_artifact_contract(self, tmp_path, rng):
         """Random-weight tiny model through the full eval pipeline: check the

@@ -36,6 +36,27 @@ def close_pair(shape=(64, 64), gap=2):
     return m
 
 
+def rod_chain(shape=(64, 64)):
+    """Touching end-to-end chain of rotated capsules (rod-shaped bacteria
+    morphology) plus an isolated rod — high-aspect instances whose major
+    axis drives the label-gen search radius."""
+    h, w = shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    m = np.zeros(shape, np.uint16)
+
+    def capsule(cy, cx, theta, half, r):
+        uy, ux = np.cos(theta), np.sin(theta)
+        t = np.clip((yy - cy) * uy + (xx - cx) * ux, -half, half)
+        return np.hypot(yy - cy - t * uy, xx - cx - t * ux) <= r
+
+    chain = [(20, 14, 0.5), (29, 28, 0.75), (40, 40, 0.9)]
+    for label, (cy, cx, theta) in enumerate(chain, start=1):
+        blob = capsule(cy, cx, theta, half=7, r=4)
+        m[blob & (m == 0)] = label
+    m[capsule(50, 16, 2.2, half=9, r=3) & (m == 0)] = len(chain) + 1
+    return m
+
+
 def _max_mal(mask):
     props = regionprops_oracle(mask)
     return int(np.ceil(max(p["major_axis_length"] for p in props)))
@@ -61,7 +82,8 @@ class TestBoundaryBorder:
 
 
 class TestDistanceLabel:
-    @pytest.mark.parametrize("maskgen", [touching_pair, close_pair])
+    @pytest.mark.parametrize("maskgen", [touching_pair, close_pair,
+                                         rod_chain])
     def test_golden_parity(self, maskgen):
         mask = maskgen()
         max_mal = _max_mal(mask)
