@@ -172,9 +172,10 @@ class InferenceEngine:
         mn = x.min(axis=(1, 2), keepdims=True)
         mx = x.max(axis=(1, 2), keepdims=True)
         denom = mx - mn
-        return jnp.where(denom > 0,
-                         2.0 * (x - mn) / jnp.maximum(denom, 1e-7) - 1.0,
-                         0.0)
+        # divide by the TRUE range (host parity even for float frames with
+        # tiny dynamic range); the where-guard only covers constant frames
+        safe = jnp.where(denom > 0, denom, 1.0)
+        return jnp.where(denom > 0, 2.0 * (x - mn) / safe - 1.0, 0.0)
 
     def _fused_forward_fn(self, h: int, w: int, dtype_key: str):
         """One fused jit for the bucket path: raw (B, h, w) frames ->
@@ -340,16 +341,18 @@ class InferenceEngine:
         T, H, W = frames.shape
         self._maybe_calibrate_bucket(frames, sh, sw, th, tw)
         fwd = self._fused_forward_fn(H, W, str(frames.dtype))
-        bs = self._device_batch(th, tw)
+        bs = min(self._device_batch(th, tw), self._prep_chunk_cap(H, W))
         raw = jnp.asarray(frames)  # ONE transfer, native dtype
         n_pad = (-T) % bs
-        if n_pad:
-            raw = jnp.concatenate(
-                [raw, jnp.zeros((n_pad, H, W), raw.dtype)])
         outs = []
         for s in range(0, T + n_pad, bs):
+            chunk = raw[s:s + bs]
+            if chunk.shape[0] < bs:  # pad only the ragged tail chunk
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((bs - chunk.shape[0], H, W),
+                                      raw.dtype)])
             try:
-                out = fwd(raw[s:s + bs])
+                out = fwd(chunk)
                 jax.block_until_ready(out)  # surface OOM at this chunk
                 outs.append(out)
             except Exception as exc:  # OOM fallback: zero predictions for
@@ -383,6 +386,16 @@ class InferenceEngine:
                         constant_values=-1.0)
         self._ensure_quant_calibrated(padded)
 
+
+    def _prep_chunk_cap(self, h: int, w: int) -> int:
+        """Frames per device call the PREP stage can afford.  CLAHE
+        materializes an (H*W, nbins) bf16 one-hot per frame at UNSCALED
+        resolution (ops/augment.clahe — ~2.1 GB at 2048^2), which the
+        model-activation-based `_device_batch` knows nothing about; cap so
+        the one-hot stays under ~2 GB per chunk."""
+        if not self.cfg.apply_clahe:
+            return 1 << 30
+        return max(1, (2 << 30) // (h * w * 256 * 2))
 
     def _device_batch(self, h: int, w: int) -> int:
         """Frames/tiles per device call, scaled by area so the activation
@@ -425,24 +438,25 @@ class InferenceEngine:
         # budget and the stack length
         ideal = bs_tile // math.gcd(n, bs_tile)
         budget = max(bs_tile, (256 << 20) // (tile * tile * 4))
-        bs0 = max(1, min(ideal, max(1, budget // n), T))
+        bs0 = max(1, min(ideal, max(1, budget // n),
+                         self._prep_chunk_cap(H, W), T))
 
         self._maybe_calibrate_tiles(frames, tile, overlap, sh, sw)
-        prep = self._prep_fn(H, W, str(frames.dtype))
+        prep = self._prep_fn(sh, sw)
         extract = self._extract_fn(tile, pos)
         fwd = self._forward_fn(0, 0)
 
         raw = jnp.asarray(frames)  # ONE transfer, native dtype
         n_pad0 = (-T) % bs0
-        if n_pad0:
-            raw = jnp.concatenate(
-                [raw, jnp.zeros((n_pad0, H, W), raw.dtype)])
 
         stitched = []
         for s in range(0, T + n_pad0, bs0):
-            norm = prep(raw[s:s + bs0])              # (bs0, H, W) on device
-            if scale < 1:
-                norm = jax.image.resize(norm, (bs0, sh, sw), "cubic")
+            chunk = raw[s:s + bs0]
+            if chunk.shape[0] < bs0:  # pad only the ragged tail chunk
+                chunk = jnp.concatenate(
+                    [chunk, jnp.zeros((bs0 - chunk.shape[0], H, W),
+                                      raw.dtype)])
+            norm = prep(chunk)                   # (bs0, sh, sw) on device
             flat = extract(norm).reshape(bs0 * n, tile, tile)
             m = bs0 * n
             pad_t = (-m) % bs_tile
@@ -476,13 +490,23 @@ class InferenceEngine:
                 for p in parts)
         return parts
 
-    def _prep_fn(self, h: int, w: int, dtype_key: str):
-        """Jitted `_prep_ops` for the tiled path (frame-global min/max must
-        precede tile extraction)."""
-        key = ("prep", h, w, dtype_key)
+    def _prep_fn(self, sh: int, sw: int):
+        """Jitted tiled-path prep: raw frame chunk -> normalized frames on
+        device, resized to (sh, sw) when scale_factor < 1 (frame-global
+        min/max must precede tile extraction; the resize fuses into the
+        same executable).  jit specializes per input shape/dtype itself."""
+        key = ("prep", sh, sw)
         if key in self._forward_cache:
             return self._forward_cache[key]
-        fn = jax.jit(self._prep_ops)
+        scale = self.cfg.scale_factor
+
+        def prep(raw):
+            x = self._prep_ops(raw)
+            if scale < 1:
+                x = jax.image.resize(x, (x.shape[0], sh, sw), "cubic")
+            return x
+
+        fn = jax.jit(prep)
         self._forward_cache[key] = fn
         return fn
 

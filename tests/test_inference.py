@@ -179,8 +179,7 @@ class TestDevicePrep:
             eng = InferenceEngine(AnalyticModel(), {}, "distance",
                                   cfg=InferConfig(apply_clahe=apply_clahe))
             host = eng._normalize_batch(frames)
-            dev = np.asarray(
-                eng._prep_fn(40, 56, "uint16")(jnp.asarray(frames)))
+            dev = np.asarray(eng._prep_fn(40, 56)(jnp.asarray(frames)))
             np.testing.assert_allclose(dev, host, atol=1e-4)
             assert np.all(dev[2] == 0.0)
 
@@ -193,6 +192,18 @@ class TestDevicePrep:
         _, c16 = eng.predict_raw(frames)
         _, cf = eng.predict_raw(frames.astype(np.float64))
         np.testing.assert_allclose(c16, cf, atol=1e-6)
+
+    def test_float_frames_with_tiny_range(self, rng):
+        """Float frames whose dynamic range is below 1e-7 must still
+        normalize to the full [-1, 1] on device — the host reference
+        divides by the TRUE range (utils/image.py:33-36), not a floored
+        denominator."""
+        base = (rng.random((1, 60, 70)) * 1e-8).astype(np.float32)
+        eng = InferenceEngine(AnalyticModel(), {}, "distance",
+                              cfg=InferConfig(batch_size=2))
+        _, cell = eng.predict_raw(base)
+        x01 = (base[0] - base[0].min()) / (base[0].max() - base[0].min())
+        np.testing.assert_allclose(cell[0], x01, atol=1e-3)
 
     def test_tiled_with_scale_matches_bucket(self, rng):
         """scale_factor composes with the tiled path (both resize the
