@@ -86,10 +86,14 @@ def _baseline_basis(borders_np, cells_np):
 
 
 def _random_variables(model, images):
-    """Host-side random init from the eval_shape template (jitted init of the
-    46M-param model costs ~2 minutes on this host; numpy is instant)."""
-    shapes = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0), images[:1], train=False))
+    """Host-side random init in the model's variable-tree structure.
+
+    Uses variables_template (eval_shape with ABSTRACT operands): a closed-over
+    concrete key/sample makes the tracer constant-fold the entire 46M-param
+    init eagerly on device — minutes of per-op dispatch over the tunnel."""
+    from microbeseg_tpu.models.io import variables_template
+    shapes = variables_template(model, images.shape[1:3],
+                                ch_in=images.shape[-1])
     rng = np.random.default_rng(0)
 
     def mk(s):

@@ -22,7 +22,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from microbeseg_tpu.utils.tiff import imread, imwrite
+from microbeseg_tpu.utils.tiff import imread_page, imwrite
 
 ANALYSIS_NAMESPACE = "microbeseg.analysis.namespace"
 
@@ -321,10 +321,10 @@ class LocalStore(ImageStore):
         size_c = int(meta.get("size_c", 1))
         if not 0 <= c < size_c:
             raise IndexError(f"channel {c} out of range (size_c={size_c})")
-        data = imread(self._img_dir(image_id) / "data.tif")
-        if data.ndim == 2:
-            data = data[None]
-        return data[t * size_c + c]
+        # decode only the requested page — a stack-sized read per plane made
+        # every plane-loop worker O(frames^2) in IO on 2D+t experiments
+        return imread_page(self._img_dir(image_id) / "data.tif",
+                           t * size_c + c)
 
     # -- map annotations ----------------------------------------------
     def get_map_annotation(self, image_id: int) -> Dict[str, str]:

@@ -9,11 +9,13 @@ discoverable the same way (reference: src/inference/infer.py:83-86).
 
 from __future__ import annotations
 
+from functools import partial
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import serialization
 
 from microbeseg_tpu.config import (
@@ -26,6 +28,39 @@ from microbeseg_tpu.config import (
 from microbeseg_tpu.models.unet import build_unet
 
 CKPT_SUFFIX = ".ckpt"
+
+
+@partial(jax.jit, static_argnums=0)
+def _jit_init(model, key, sample):
+    return model.init(key, sample, train=False)
+
+
+def init_variables(model, key: jax.Array, sample: jax.Array) -> Dict[str, Any]:
+    """``model.init`` under jit.
+
+    Eager flax init dispatches thousands of tiny ops individually; over the
+    ~25 ms-latency device tunnel that costs minutes per model build (measured
+    103 s for the demo-size DUNet).  One jitted executable makes it one
+    dispatch; jit caching keys on the (hashable) module, so repeated builds
+    of the same architecture retrace nothing."""
+    return _jit_init(model, key, sample)
+
+
+def variables_template(model, sample_shape: Tuple[int, ...],
+                       ch_in: int = 1) -> Dict[str, Any]:
+    """Variable tree with the right STRUCTURE but host-zeros leaves, for
+    ``load_checkpoint`` targets.  ``jax.eval_shape`` traces ``model.init``
+    without compiling or executing anything — zero device work, no compile
+    (the previous eager init paid ~100 s of dispatch latency per checkpoint
+    load on the tunnel backend just to produce values that were immediately
+    overwritten)."""
+    dummy = jax.ShapeDtypeStruct((1, *sample_shape, ch_in), jnp.float32)
+    # the rng must be ABSTRACT too: a concrete key makes the tracer
+    # constant-fold the entire init (every split/fold_in/initializer
+    # executes eagerly on device — measured 11 s / ~800 dispatches)
+    key = jax.eval_shape(lambda: jax.random.PRNGKey(0))
+    shapes = jax.eval_shape(partial(model.init, train=False), key, dummy)
+    return jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), dict(shapes))
 
 
 def save_checkpoint(variables: Dict[str, Any], path: Path) -> Path:
@@ -119,9 +154,8 @@ def load_model(model_path: Path,
     sidecar = read_sidecar(stem.parent / f"{stem.name}.json")
     cfg = train_config_from_sidecar(sidecar)
     model = build_unet(cfg.model, dtype=dtype)
-    # Build a variable template with the right tree structure.
-    dummy = jnp.zeros((1, input_size, input_size, cfg.model.ch_in), jnp.float32)
-    template = model.init(jax.random.PRNGKey(0), dummy, train=False)
-    template = jax.device_get(template)
-    variables = load_checkpoint(dict(template), stem.with_suffix(CKPT_SUFFIX))
+    # Structure-only template: no device work, no compile.
+    template = variables_template(model, (input_size, input_size),
+                                  ch_in=cfg.model.ch_in)
+    variables = load_checkpoint(template, stem.with_suffix(CKPT_SUFFIX))
     return model, variables, cfg

@@ -67,12 +67,19 @@ class Trainer:
                                 dtype=jnp.dtype(cfg.compute_dtype))
         self.loss_fn = get_batch_loss(cfg.loss, cfg.label_type)
         self.stopped = False
+        self._steps = None  # jitted (train_step, eval_step), built once
 
     # ------------------------------------------------------------------
     # jitted steps
     # ------------------------------------------------------------------
 
     def _build_steps(self, tx, has_batch_stats: bool):
+        # One build per Trainer: the Ranger fine-tune phase's graph is
+        # IDENTICAL to the main run's (the lr lives in opt_state via
+        # inject_hyperparams), but a fresh closure would force a full
+        # retrace+recompile (~30-60 s on the tunnel backend) per phase.
+        if self._steps is not None:
+            return self._steps
         model = self.model
         label_type = self.cfg.label_type
         batch_loss = self.loss_fn  # (pred, batch, weights) -> weighted sum
@@ -125,7 +132,8 @@ class Trainer:
             eval_step,
             in_shardings=(rsh, rsh, bsh, bsh, bsh),
             out_shardings=rsh)
-        return train_step, eval_step
+        self._steps = (train_step, eval_step)
+        return self._steps
 
     # ------------------------------------------------------------------
     # device residency
@@ -136,13 +144,24 @@ class Trainer:
     def _device_cache(self, split):
         """(images, labels) as device arrays when the split fits comfortably
         in HBM — batch selection becomes an on-device row gather instead of
-        a per-step host->device transfer; numpy passthrough otherwise."""
+        a per-step host->device transfer; numpy passthrough otherwise.
+        Memoized per split so the Ranger fine-tune phase reuses the main
+        run's upload instead of re-shipping the trainset over the tunnel."""
+        memo = getattr(self, "_dev_memo", None)
+        if memo is None:
+            memo = self._dev_memo = {}
+        hit = memo.get(id(split))
+        if hit is not None and hit[0] is split:
+            return hit[1]
         nbytes = split.images.nbytes + sum(
             v.nbytes for v in split.labels.values())
         if nbytes > self._DEVICE_CACHE_MAX_BYTES:
-            return split.images, split.labels
-        return (jnp.asarray(split.images),
-                {k: jnp.asarray(v) for k, v in split.labels.items()})
+            out = (split.images, split.labels)
+        else:
+            out = (jnp.asarray(split.images),
+                   {k: jnp.asarray(v) for k, v in split.labels.items()})
+        memo[id(split)] = (split, out)
+        return out
 
     # ------------------------------------------------------------------
     # the reference train() protocol (train.py:316-576)
@@ -184,21 +203,27 @@ class Trainer:
             break_condition = 2 * max_epochs // 10 + 5
             run_epochs = max_epochs
 
-        # init model + optimizer
+        # init model + optimizer (both jitted: eager flax/optax init is
+        # thousands of per-op dispatches — minutes over the device tunnel)
         rng = jax.random.PRNGKey(cfg.seed + (1 if second_run else 0))
         init_key, shuffle_seed = jax.random.split(rng)
-        sample = jnp.zeros((1, data.crop_size, data.crop_size,
-                            cfg.model.ch_in), jnp.float32)
-        variables = self.model.init(init_key, sample, train=False)
         if second_run:  # resume from the best checkpoint (reference :240-242)
-            from microbeseg_tpu.models.io import load_checkpoint
+            from microbeseg_tpu.models.io import (load_checkpoint,
+                                                  variables_template)
             variables = load_checkpoint(
-                jax.device_get(dict(variables)),
+                variables_template(self.model,
+                                   (data.crop_size, data.crop_size),
+                                   ch_in=cfg.model.ch_in),
                 self.path_models / f"{cfg.run_name}.ckpt")
+        else:
+            from microbeseg_tpu.models.io import init_variables
+            sample = jnp.zeros((1, data.crop_size, data.crop_size,
+                                cfg.model.ch_in), jnp.float32)
+            variables = init_variables(self.model, init_key, sample)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         has_bs = "batch_stats" in variables
-        opt_state = tx.init(params)
+        opt_state = jax.jit(tx.init)(params)
 
         train_step, eval_step = self._build_steps(tx, has_bs)
         # 'bn': running stats drift from eval-input statistics under the
@@ -379,7 +404,11 @@ class Trainer:
     def _make_stat_step(self, zero_bs):
         """Jitted per-batch raw-moment extractor: feeding zeroed running
         stats through flax's EMA returns (1 - momentum) * batch_stat, so the
-        raw batch moments are recovered exactly by dividing out 0.1."""
+        raw batch moments are recovered exactly by dividing out 0.1.
+        Cached per Trainer (the graph only depends on the model)."""
+        cached = getattr(self, "_stat_step_cache", None)
+        if cached is not None:
+            return cached
         model = self.model
         bsh = batch_sharding(self.mesh)
         rsh = replicated_sharding(self.mesh)
@@ -391,7 +420,9 @@ class Trainer:
             return jax.tree.map(lambda s: s / (1.0 - 0.9),
                                 mutated["batch_stats"])
 
-        return jax.jit(stat_step, in_shardings=(rsh, bsh), out_shardings=rsh)
+        self._stat_step_cache = jax.jit(stat_step, in_shardings=(rsh, bsh),
+                                        out_shardings=rsh)
+        return self._stat_step_cache
 
     def _precise_stats(self, stat_step, params, images: np.ndarray,
                        step_bs: int):
@@ -444,17 +475,17 @@ class Trainer:
         NON-augmented, eval-normalized train images through the net in train
         mode and replaces the running stats with the exact pooled moments.
         """
-        from microbeseg_tpu.models.io import load_checkpoint, save_checkpoint
+        from microbeseg_tpu.models.io import (load_checkpoint,
+                                              save_checkpoint,
+                                              variables_template)
 
         ckpt_path = self.path_models / f"{self.cfg.run_name}.ckpt"
-        sample = jnp.zeros((1, data.crop_size, data.crop_size,
-                            self.cfg.model.ch_in), jnp.float32)
-        variables = self.model.init(jax.random.PRNGKey(0), sample,
-                                    train=False)
-        if "batch_stats" not in variables or not variables["batch_stats"]:
+        template = variables_template(self.model,
+                                      (data.crop_size, data.crop_size),
+                                      ch_in=self.cfg.model.ch_in)
+        if "batch_stats" not in template or not template["batch_stats"]:
             return  # gn / in: nothing to recalibrate
-        variables = load_checkpoint(jax.device_get(dict(variables)),
-                                    ckpt_path)
+        variables = load_checkpoint(template, ckpt_path)
         params = variables["params"]
         zero_bs = jax.tree.map(jnp.zeros_like, variables["batch_stats"])
         stat_step = self._make_stat_step(zero_bs)

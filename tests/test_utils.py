@@ -41,6 +41,22 @@ class TestTiff:
         back = imread(p)
         np.testing.assert_array_equal(back, arr)
 
+    def test_imread_page(self, tmp_path, rng):
+        from microbeseg_tpu.utils.tiff import imread_page
+        arr = rng.integers(0, 65535, size=(5, 20, 30)).astype(np.uint16)
+        p = tmp_path / "stack.tif"
+        imwrite(p, arr)
+        for t in (0, 2, 4):
+            np.testing.assert_array_equal(imread_page(p, t), arr[t])
+        # single-frame file: page 0 works, page 1 raises
+        q = tmp_path / "one.tif"
+        imwrite(q, arr[0])
+        np.testing.assert_array_equal(imread_page(q, 0), arr[0])
+        with pytest.raises(IndexError):
+            imread_page(q, 1)
+        with pytest.raises(IndexError):
+            imread_page(p, 5)
+
 
 class TestNormalization:
     def test_full_range(self):
