@@ -56,6 +56,36 @@ class TestDUNet:
         assert cell.shape == (2, 32, 32, 1)
 
 
+class TestInitHelpers:
+    """init_variables / variables_template (models/io.py): the jitted init
+    must produce the SAME values as eager flax init, and the eval_shape
+    template the same tree/shapes/dtypes — both exist purely to kill
+    per-op dispatch latency over the device tunnel."""
+
+    def test_jit_init_matches_eager(self):
+        from microbeseg_tpu.models.io import init_variables
+        model = build_unet(SMALL)
+        x = jnp.zeros((1, 32, 32, 1), jnp.float32)
+        eager = model.init(jax.random.PRNGKey(3), x, train=False)
+        jitted = init_variables(model, jax.random.PRNGKey(3), x)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            dict(eager), dict(jitted))
+
+    def test_template_matches_init_structure(self):
+        from microbeseg_tpu.models.io import variables_template
+        for cfg in (SMALL, ModelConfig(filters=(8, 16), normalization="gn")):
+            model = build_unet(cfg)
+            x = jnp.zeros((1, 32, 32, 1), jnp.float32)
+            real = jax.device_get(dict(
+                model.init(jax.random.PRNGKey(0), x, train=False)))
+            tpl = variables_template(model, (32, 32), ch_in=1)
+            assert jax.tree.structure(tpl) == jax.tree.structure(real)
+            jax.tree.map(lambda t, r: (np.testing.assert_array_equal(
+                t.shape, r.shape), t.dtype == r.dtype), tpl, real)
+
+
 class TestUNet:
     def test_boundary_output(self):
         model = build_unet(ModelConfig(unet_type="U", ch_out=3, filters=(8, 32)))
