@@ -74,12 +74,15 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _build_steps(self, tx, has_batch_stats: bool):
-        # One build per Trainer: the Ranger fine-tune phase's graph is
-        # IDENTICAL to the main run's (the lr lives in opt_state via
-        # inject_hyperparams), but a fresh closure would force a full
-        # retrace+recompile (~30-60 s on the tunnel backend) per phase.
-        if self._steps is not None:
-            return self._steps
+        # One build per (optimizer, has_batch_stats): the Ranger fine-tune
+        # phase's graph is IDENTICAL to the main run's (the lr lives in
+        # opt_state via inject_hyperparams), but a fresh closure would force
+        # a full retrace+recompile (~30-60 s on the tunnel backend) per
+        # phase.  The key guards against a future caller passing a
+        # structurally different tx and silently getting the memoized one.
+        memo_key = (self.cfg.optimizer, has_batch_stats)
+        if self._steps is not None and self._steps[0] == memo_key:
+            return self._steps[1]
         model = self.model
         label_type = self.cfg.label_type
         batch_loss = self.loss_fn  # (pred, batch, weights) -> weighted sum
@@ -132,8 +135,8 @@ class Trainer:
             eval_step,
             in_shardings=(rsh, rsh, bsh, bsh, bsh),
             out_shardings=rsh)
-        self._steps = (train_step, eval_step)
-        return self._steps
+        self._steps = (memo_key, (train_step, eval_step))
+        return self._steps[1]
 
     # ------------------------------------------------------------------
     # device residency
@@ -168,7 +171,8 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def train(self, data: TrainingData, best_loss: float = 1e4,
-              print_output: bool = False, resume: bool = False) -> float:
+              print_output: bool = False, resume: bool = False,
+              init_vars=None) -> float:
         cfg = self.cfg
         second_run = best_loss < 1e3
         max_epochs = cfg.max_epochs or get_max_epochs(len(data), data.crop_size)
@@ -208,13 +212,21 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed + (1 if second_run else 0))
         init_key, shuffle_seed = jax.random.split(rng)
         if second_run:  # resume from the best checkpoint (reference :240-242)
-            from microbeseg_tpu.models.io import (load_checkpoint,
-                                                  variables_template)
-            variables = load_checkpoint(
-                variables_template(self.model,
-                                   (data.crop_size, data.crop_size),
-                                   ch_in=cfg.model.ch_in),
-                self.path_models / f"{cfg.run_name}.ckpt")
+            if init_vars is not None:
+                # fresh copies: these params enter train_step's donation
+                # cycle, and the caller's snapshot must stay valid
+                p, bs = self._copy_vars(init_vars[0], init_vars[1])
+                variables = {"params": p}
+                if bs:
+                    variables["batch_stats"] = bs
+            else:
+                from microbeseg_tpu.models.io import (load_checkpoint,
+                                                      variables_template)
+                variables = load_checkpoint(
+                    variables_template(self.model,
+                                       (data.crop_size, data.crop_size),
+                                       ch_in=cfg.model.ch_in),
+                    self.path_models / f"{cfg.run_name}.ckpt")
         else:
             from microbeseg_tpu.models.io import init_variables
             sample = jnp.zeros((1, data.crop_size, data.crop_size,
@@ -292,6 +304,17 @@ class Trainer:
         best_dirty = False        # snapshot newer than the disk checkpoint
         last_flush = time.time()
 
+        def flush_best():
+            # write the freshest best weights to disk (same bytes the old
+            # per-improvement save produced, just less often)
+            nonlocal best_dirty, last_flush
+            if best_dirty:
+                save_checkpoint(
+                    {"params": best_vars[0], "batch_stats": best_vars[1]},
+                    self.path_models / cfg.run_name)
+                best_dirty = False
+                last_flush = time.time()
+
         # Keep the whole trainset device-resident when it fits (batches are
         # then an on-device row gather instead of a per-step host->device
         # transfer over the slow link); numpy fallback for huge sets.
@@ -353,16 +376,10 @@ class Trainer:
                 # snapshot best weights ON DEVICE (one jitted copy, ~ms);
                 # fetching + writing the flagship's 186 MB to disk on every
                 # improved epoch cost ~8 s/epoch over the ~22 MB/s tunnel —
-                # the disk file is flushed at most every _FLUSH_SECS and
-                # always at the end of the run (same bytes either way)
+                # the disk file is flushed below at most every _FLUSH_SECS
+                # and always at the end of the run (same bytes either way)
                 best_vars = self._copy_vars(params, batch_stats)
                 best_dirty = True
-                if time.time() - last_flush > self._FLUSH_SECS:
-                    save_checkpoint(
-                        {"params": best_vars[0], "batch_stats": best_vars[1]},
-                        self.path_models / cfg.run_name)
-                    best_dirty = False
-                    last_flush = time.time()
                 epochs_wo_improvement = 0
             else:
                 msg = (f"{epoch + 1} / {run_epochs}: Loss train / val: "
@@ -372,12 +389,21 @@ class Trainer:
             if print_output:
                 print(msg)
 
+            # outside the improvement branch so staleness is bounded even
+            # through a long plateau after an unflushed improvement
+            if best_dirty and time.time() - last_flush > self._FLUSH_SECS:
+                flush_best()
+
             new_lr = scheduler.step(val_loss)
             opt_state = set_learning_rate(opt_state, new_lr)
 
             if (cfg.train_state_every > 0
                     and (epoch + 1) % cfg.train_state_every == 0):
                 from microbeseg_tpu.models.io import save_train_state
+                # the snapshot records best_loss; the on-disk checkpoint
+                # must hold the matching weights or a crash-resume would
+                # never rewrite it (resumed val may never beat best_loss)
+                flush_best()
                 save_train_state(
                     {"params": params, "batch_stats": batch_stats,
                      "opt_state": opt_state, "step_key": step_key},
@@ -399,10 +425,12 @@ class Trainer:
                     "improvement --> break")
                 break
 
-        if best_dirty and not self.stopped:
-            save_checkpoint(
-                {"params": best_vars[0], "batch_stats": best_vars[1]},
-                self.path_models / cfg.run_name)
+        if not self.stopped:
+            flush_best()
+        # hand the freshest best weights to fit() so the Ranger second run
+        # and recalibration reuse the device copy instead of re-uploading
+        # the checkpoint file over the tunnel
+        self._last_best_vars = best_vars if not self.stopped else None
 
         if not self.stopped and epoch >= 0:
             elapsed = time.time() - since
@@ -495,10 +523,14 @@ class Trainer:
 
         return _combine(sum_mean, sum_msq)
 
-    def recalibrate_batch_stats(self, data: TrainingData) -> None:
+    def recalibrate_batch_stats(self, data: TrainingData,
+                                variables=None) -> None:
         """Re-estimate BatchNorm running statistics over the train set and
         rewrite the best checkpoint (standalone entry point; during training
-        the same pass runs every epoch before validation).
+        the same pass runs every epoch before validation).  ``variables``:
+        optional on-device (params, batch_stats) — skips re-uploading the
+        checkpoint file over the tunnel when fit() already holds the best
+        weights on device.
 
         The reference default 'bn' (src/training/train.py:187) trains on
         heavily augmented batches, so the EMA running stats drift far from
@@ -512,14 +544,19 @@ class Trainer:
                                               variables_template)
 
         ckpt_path = self.path_models / f"{self.cfg.run_name}.ckpt"
-        template = variables_template(self.model,
-                                      (data.crop_size, data.crop_size),
-                                      ch_in=self.cfg.model.ch_in)
-        if "batch_stats" not in template or not template["batch_stats"]:
-            return  # gn / in: nothing to recalibrate
-        variables = load_checkpoint(template, ckpt_path)
-        params = variables["params"]
-        zero_bs = jax.tree.map(jnp.zeros_like, variables["batch_stats"])
+        if variables is not None:
+            params, bs = variables
+            if not bs:
+                return  # gn / in: nothing to recalibrate
+        else:
+            template = variables_template(self.model,
+                                          (data.crop_size, data.crop_size),
+                                          ch_in=self.cfg.model.ch_in)
+            if "batch_stats" not in template or not template["batch_stats"]:
+                return  # gn / in: nothing to recalibrate
+            loaded = load_checkpoint(template, ckpt_path)
+            params, bs = loaded["params"], loaded["batch_stats"]
+        zero_bs = jax.tree.map(jnp.zeros_like, bs)
         stat_step = self._make_stat_step(zero_bs)
         n = len(data.train)
         step_bs = pad_batch_to_devices(min(self.cfg.batch_size, n),
@@ -600,29 +637,47 @@ class Trainer:
                 extra["training_time_run_2"] = t2.get("training_time")
                 extra["trained_epochs_run2"] = t2.get("trained_epochs")
             if not self.stopped:
-                self.recalibrate_batch_stats(data)
+                self.recalibrate_batch_stats(
+                    data, variables=getattr(self, "_last_best_vars", None))
                 write_sidecar(cfg, self.path_models, extra=extra)
                 self._drop_train_state()
+            self._release_device_cache()
             return best
 
         best = self.train(data, print_output=print_output, resume=resume)
         extra: Dict = dict(getattr(self, "_timing", {}))
+        # the main run's best weights, still on device — the fine-tune phase
+        # and recalibration reuse them instead of re-uploading the 186 MB
+        # flagship checkpoint over the tunnel
+        overall_vars = getattr(self, "_last_best_vars", None)
         if cfg.optimizer == "ranger" and not self.stopped:
-            best = self.train(data, best_loss=best, print_output=print_output)
+            best = self.train(data, best_loss=best, print_output=print_output,
+                              init_vars=overall_vars)
             t2 = getattr(self, "_timing", {})
             if t2.get("second_run"):
                 extra["training_time_run_2"] = t2.get("training_time")
                 extra["trained_epochs_run2"] = t2.get("trained_epochs")
+            # run 2 may not improve on run 1's best — keep the newest
+            overall_vars = getattr(self, "_last_best_vars", None) or overall_vars
         if not self.stopped:
             # 'bn' (the reference default): re-estimate running stats so
             # eval-mode inference sees calibrated statistics
-            self.recalibrate_batch_stats(data)
+            self.recalibrate_batch_stats(data, variables=overall_vars)
             write_sidecar(cfg, self.path_models, extra=extra)
             # a finished run needs no resumable snapshot — leaving it would
             # make a later --resume latch onto this completed run and
             # overwrite its checkpoint
             self._drop_train_state()
+        self._release_device_cache()
         return best
+
+    def _release_device_cache(self) -> None:
+        """Drop HBM pinned across the two-phase schedule (device-resident
+        trainset copies + the best-weights snapshot) once fit() is done —
+        a long-lived Trainer (GUI session) must not compete with later
+        inference/eval jobs for device memory."""
+        getattr(self, "_dev_memo", {}).clear()
+        self._last_best_vars = None
 
     def _drop_train_state(self) -> None:
         stem = self.path_models / f"{self.cfg.run_name}_state"

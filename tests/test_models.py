@@ -82,8 +82,12 @@ class TestInitHelpers:
                 model.init(jax.random.PRNGKey(0), x, train=False)))
             tpl = variables_template(model, (32, 32), ch_in=1)
             assert jax.tree.structure(tpl) == jax.tree.structure(real)
-            jax.tree.map(lambda t, r: (np.testing.assert_array_equal(
-                t.shape, r.shape), t.dtype == r.dtype), tpl, real)
+
+            def check(t, r):
+                assert t.shape == r.shape, (t.shape, r.shape)
+                assert t.dtype == r.dtype, (t.dtype, r.dtype)
+
+            jax.tree.map(check, tpl, real)
 
 
 class TestUNet:

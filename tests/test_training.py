@@ -333,6 +333,60 @@ class TestTrainStateResume:
         resumed_losses = losses_of(msgs_a)[:2] + losses_of(msgs_b)[:2]
         assert resumed_losses == full_losses
 
+    def test_crash_leaves_consistent_snapshot_and_checkpoint(
+            self, tmp_path, rng, monkeypatch):
+        """Deferred best-checkpoint flushing must still keep the mid-training
+        snapshot and the on-disk .ckpt consistent: save_train_state records
+        best_loss, so the matching weights are force-flushed alongside it —
+        a crash between an improvement and the timer flush must not strand a
+        snapshot whose best_loss has no weights on disk (the resumed run may
+        never beat it and would then fine-tune stale weights)."""
+        from microbeseg_tpu.config import ModelConfig, TrainConfig
+        from microbeseg_tpu.training.data import SplitArrays, TrainingData
+        from microbeseg_tpu.training.trainer import Trainer
+
+        monkeypatch.setattr(Trainer, "_FLUSH_SECS", 1e9)  # timer never fires
+        n, size = 8, 16
+        images = rng.integers(0, 65535, (n, size, size, 1)).astype(np.float32)
+        labels = {
+            "border_label": rng.random((n, size, size, 1)).astype(np.float32),
+            "cell_label": rng.random((n, size, size, 1)).astype(np.float32)}
+        split = SplitArrays(images=images, labels=labels,
+                            ids=[str(i) for i in range(n)])
+        data = TrainingData(train=split, val=split, crop_size=size)
+        cfg = TrainConfig(
+            model=ModelConfig(filters=(8, 16), act_fun="relu",
+                              normalization="gn"),
+            optimizer="adam", batch_size=4, run_name="distance_model_01",
+            max_epochs=20, compute_dtype="float32", seed=5,
+            train_state_every=1)
+
+        t = Trainer(cfg, tmp_path / "crash")
+        msgs = []
+        t.text_output = msgs.append
+
+        def boom():
+            if sum("Loss" in m for m in msgs) >= 2:
+                raise RuntimeError("simulated crash")
+            return False
+
+        t.should_stop = boom
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            t.train(data)
+        ckpt = tmp_path / "crash" / "distance_model_01.ckpt"
+        state = tmp_path / "crash" / "distance_model_01_state.train_state"
+        assert state.is_file()  # the crash left a resumable snapshot...
+        assert ckpt.is_file()   # ...AND the matching best checkpoint
+
+        # the resumed run loads both and finishes the phase
+        t2 = Trainer(cfg, tmp_path / "crash")
+        msgs2 = []
+        t2.text_output = msgs2.append
+        t2.should_stop = lambda: False
+        t2.train(data, resume=True)
+        assert any("Resume training from epoch" in m for m in msgs2)
+        assert ckpt.is_file()
+
     def test_snapshot_deleted_after_completed_fit(self, tmp_path, rng):
         """A finished run drops its resumable snapshot so a later --resume
         cannot latch onto the completed run and overwrite its checkpoint."""
