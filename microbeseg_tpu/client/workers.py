@@ -15,6 +15,7 @@ Re-hosts the reference's OMERO workers (SURVEY.md §2.1 items 18-22) on the
 
 from __future__ import annotations
 
+import functools
 import json
 from dataclasses import dataclass
 from pathlib import Path
@@ -202,15 +203,32 @@ def _grid_crops(img: np.ndarray, mask: Optional[np.ndarray], crop_size: int):
 # Analysis (reference analysis.py:12-211)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def _batched_props(cap: int):
+    """Jitted, frame-vmapped regionprops at instance capacity ``cap``: one
+    device dispatch (and one executable per stack shape) instead of a
+    props+fetch round per frame — per-frame dispatch and first-call
+    executable costs dominated the analysis worker on 2D+t stacks.
+
+    No relabel pass: ``_rasterize_rois`` assigns sequential ids 1..n, and
+    ids erased by covering polygons merely leave zero-area rows that the
+    present-mask filters — identical stats, and skipping the H*W-wide
+    presence scatter + cumsum halves the device work per frame."""
+    import jax
+    from microbeseg_tpu.ops.regionprops import regionprops
+
+    return jax.jit(jax.vmap(lambda mask: regionprops(mask, max_labels=cap)))
+
+
 def analyze_dataset(store: ImageStore, image_ids: Sequence[int],
                     result_dir: Path,
                     text_output: Callable[[str], None] = _noop,
                     progress: Callable[[int], None] = _noop) -> List[Path]:
     """Per-frame counts / areas / axis lengths from polygon ROIs, written to
     CSV and attached under the analysis namespace."""
-    import jax.numpy as jnp
-    from microbeseg_tpu.ops.cc import relabel_sequential
-    from microbeseg_tpu.ops.regionprops import regionprops
+    import jax
+
+    _CHUNK = 8  # frames per device call (bounds HBM: 8 x 2048^2 int32)
 
     result_dir = Path(result_dir)
     result_dir.mkdir(parents=True, exist_ok=True)
@@ -218,30 +236,40 @@ def analyze_dataset(store: ImageStore, image_ids: Sequence[int],
     for i, iid in enumerate(image_ids):
         ref = store.get_image(iid)
         polys = store.get_polygons(iid)
+        masks = np.stack([_rasterize_rois(polys, t, (ref.size_y, ref.size_x))
+                          for t in range(ref.size_t)]).astype(np.int32)
+        n_max = int(masks.max())
         rows = []
-        for t in range(ref.size_t):
-            mask = _rasterize_rois(polys, t, (ref.size_y, ref.size_x))
-            n = int(mask.max())
-            if n == 0:
-                rows.append(dict(frame=t, cell_count=0, mean_area=0.0,
-                                 total_area=0.0, mean_major_axis=0.0,
-                                 mean_minor_axis=0.0))
-                continue
-            cap = max(16, 1 << (n - 1).bit_length())
-            labels = relabel_sequential(jnp.asarray(mask.astype(np.int32)),
-                                        max_labels=cap)
-            props = regionprops(labels, max_labels=cap)
-            areas = np.asarray(props.area)
-            present = areas > 0
-            rows.append(dict(
-                frame=t,
-                cell_count=int(present.sum()),
-                mean_area=float(areas[present].mean()),
-                total_area=float(areas[present].sum()),
-                mean_major_axis=float(
-                    np.asarray(props.major_axis_length)[present].mean()),
-                mean_minor_axis=float(
-                    np.asarray(props.minor_axis_length)[present].mean())))
+        if n_max == 0:
+            rows = [dict(frame=t, cell_count=0, mean_area=0.0,
+                         total_area=0.0, mean_major_axis=0.0,
+                         mean_minor_axis=0.0) for t in range(ref.size_t)]
+        else:
+            # one capacity for the whole stack: capacity only pads the
+            # segment reductions, the present-mask filters the zeros, so
+            # per-frame stats are identical to per-frame caps
+            cap = max(16, 1 << (n_max - 1).bit_length())
+            fn = _batched_props(cap)
+            for start in range(0, ref.size_t, _CHUNK):
+                chunk = masks[start:start + _CHUNK]
+                props = jax.device_get(fn(chunk))
+                for j in range(chunk.shape[0]):
+                    areas = props.area[j]
+                    present = areas > 0
+                    any_cells = bool(present.any())
+                    rows.append(dict(
+                        frame=start + j,
+                        cell_count=int(present.sum()),
+                        mean_area=float(areas[present].mean())
+                        if any_cells else 0.0,
+                        total_area=float(areas[present].sum())
+                        if any_cells else 0.0,
+                        mean_major_axis=float(
+                            props.major_axis_length[j][present].mean())
+                        if any_cells else 0.0,
+                        mean_minor_axis=float(
+                            props.minor_axis_length[j][present].mean())
+                        if any_cells else 0.0))
         df = pd.DataFrame(rows)
         out = result_dir / f"analysis_{ref.name or iid}.csv"
         df.to_csv(out, index=False)

@@ -338,6 +338,47 @@ class TestWorkersRoundtrip:
         from microbeseg_tpu.client.store import ANALYSIS_NAMESPACE
         assert store.list_attachments(ids[0], namespace=ANALYSIS_NAMESPACE)
 
+    def test_analysis_batched_matches_numpy(self, any_store, tmp_path, rng):
+        """The frame-vmapped analysis path produces the same per-frame
+        counts/areas as direct numpy on the rasterized masks — including a
+        zero-cell frame inside a multi-frame 2D+t stack."""
+        from microbeseg_tpu.client.workers import (_mask_to_rois,
+                                                   _rasterize_rois)
+        store = any_store[0]
+        did = store.create_dataset("exp")
+        frames = []
+        for t in range(3):
+            n = 0 if t == 1 else 3 + t  # frame 1 is empty
+            frames.append(synthetic_blobs(rng, shape=(64, 64), n_blobs=n)
+                          if n else np.zeros((64, 64), np.uint16))
+        iid = store.upload_image(did, "stack.tif",
+                                 np.stack([(f > 0).astype(np.uint16) * 20000
+                                           for f in frames]))
+        rois = []
+        for t, f in enumerate(frames):
+            rois.extend(_mask_to_rois(f, t=t))
+        store.add_polygons(iid, rois)
+
+        outs = analyze_dataset(store, [iid], tmp_path / "analysis")
+        df = pd.read_csv(outs[0])
+        assert len(df) == 3
+        for t in range(3):
+            # numpy oracle on the same rasterization the worker uses
+            m = _rasterize_rois(store.get_polygons(iid), t, (64, 64))
+            counts = np.bincount(m.reshape(-1))[1:]
+            counts = counts[counts > 0]
+            row = df.iloc[t]
+            assert row["cell_count"] == len(counts)
+            if len(counts):
+                np.testing.assert_allclose(row["mean_area"], counts.mean(),
+                                           rtol=1e-5)
+                np.testing.assert_allclose(row["total_area"], counts.sum(),
+                                           rtol=1e-5)
+                assert row["mean_major_axis"] > 0
+            else:
+                assert row["total_area"] == 0.0
+                assert row["mean_major_axis"] == 0.0
+
     def test_result_export(self, any_store, tmp_path, rng):
         store, did, ids = self._store_with_trainset(any_store[0], tmp_path, rng, n=2)
         export_results(store, ids[:1], tmp_path / "results")
