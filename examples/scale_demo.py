@@ -102,8 +102,13 @@ def main():
     p.add_argument("--epochs", type=int, default=40)
     p.add_argument("--crops", type=int, default=60,
                    help="annotated crops accepted into the trainset")
+    p.add_argument("--filters", default="16,128",
+                   help="encoder filter range f0,f1 (flagship: 64,1024 — "
+                        "the reference default, unets.py:320-331)")
+    p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--out", default=None)
     args = p.parse_args()
+    filters = tuple(int(f) for f in args.filters.split(","))
 
     out = (Path(args.out) if args.out
            else Path(__file__).resolve().parents[1] / "_scale_out")
@@ -199,10 +204,10 @@ def main():
 
     run_name = "distance_model_01"
     cfg = TrainConfig(model=ModelConfig(unet_type="DU", ch_out=1,
-                                        filters=(16, 128), act_fun="mish",
+                                        filters=filters, act_fun="mish",
                                         normalization="gn"),
                       label_type="distance", optimizer="ranger",
-                      batch_size=8, run_name=run_name,
+                      batch_size=args.batch_size, run_name=run_name,
                       max_epochs=args.epochs)
     data = TrainingData.from_directory(data_dir, label_type="distance")
     models_dir = out / "models" / "trainset256"
