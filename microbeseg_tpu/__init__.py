@@ -23,3 +23,13 @@ crop -> instance-mask path runs on device:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache, on by default for every entry point
+# (CLIs, GUI, examples): the flagship DUNet compiles in minutes at the large
+# pad buckets, and without a disk cache every fresh process pays that again
+# (measured ~9 min vs ~1 min driving the CLIs).  The reference's analog is
+# torch.backends.cudnn.benchmark (microbe_seg.py:23).  setdefault only —
+# callers and tests can point it elsewhere or disable with an empty value.
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")

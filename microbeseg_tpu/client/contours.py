@@ -14,9 +14,14 @@ OMERO server / annotation tool, they are not on the TPU compute path
 
 from __future__ import annotations
 
+import re
 from typing import Dict, List, Tuple
 
 import numpy as np
+
+# 'x,y x,y ...' where every whitespace-separated token carries exactly one
+# comma (values may be signed floats/ints; exponent forms included)
+_ROI_POINTS_RE = re.compile(r"\s*(?:[^,\s]+,[^,\s]+(?:\s+|\s*$))+")
 
 # Moore neighborhood in clockwise order starting from W
 _MOORE = [(0, -1), (-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1)]
@@ -199,8 +204,11 @@ def roi_string_to_polygon(points: str) -> np.ndarray:
     # exactly one comma — 'x,y,z' tokens would otherwise reshape into
     # scrambled pairs, so those fall through to the defensive parser.
     normalized = points.replace(";", " ")
-    toks = normalized.replace(",", " ").split()
-    if toks and len(toks) == 2 * len(normalized.split()):
+    # token-count balancing alone is foolable ('1,2,3 4' has 4 subtokens
+    # for 2 points); the regex fullmatch validates one-comma-per-token at
+    # C speed before the vectorized parse
+    if _ROI_POINTS_RE.fullmatch(normalized):
+        toks = normalized.replace(",", " ").split()
         try:
             return np.asarray(toks, dtype=np.float64).reshape(-1, 2)
         except ValueError:

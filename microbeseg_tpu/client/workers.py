@@ -440,8 +440,14 @@ class CropGenerator:
             # evenly strided frame subset: <=40% of frames, ~30 per
             # experiment (reference gui:2248-2251)
             if 0.4 * ref.size_t > 30:
+                # true ceil: the reference's int(np.ceil(size_t // 30))
+                # floor-divides INSIDE the ceil, letting up to 2x the
+                # 30-frame cap through (80 frames -> stride 2 -> 40)
                 stride = int(np.ceil(ref.size_t / 30))
             else:
+                # exact reference parity: int(1/0.4) truncates to 2, so
+                # 50% of frames are offered despite the "maximum 40%"
+                # comment (gui:2148-2151) — keep its actual behavior
                 stride = int(1 / 0.4)
             for t in range(0, ref.size_t, max(stride, 1)):
                 if (ref.image_id, t, self.channel) in used:

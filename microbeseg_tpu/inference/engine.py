@@ -307,7 +307,44 @@ class InferenceEngine:
         src/inference/inference_dataset.py:107-126, order-2 interpolation) and
         upscales the float predictions back before post-processing.
         """
-        return tuple(np.asarray(p) for p in self._predict_raw_dev(frames))
+        frames = np.asarray(frames)
+        if frames.ndim == 2:
+            frames = frames[None]
+        T, H, W = frames.shape
+        cap = self._resident_frames_cap(H, W, frames.dtype)
+        outs = []
+        for s in range(0, T, cap):
+            chunk = []
+            for p in self._predict_raw_dev(frames[s:s + cap]):
+                # the fetch is the first point that synchronizes the device
+                # chain on this runtime (block_until_ready does not block
+                # through the axon tunnel) — map a RESOURCE_EXHAUSTED here
+                # to the reference's zero-prediction fallback
+                # (infer.py:353-356), as segment() does for masks
+                try:
+                    chunk.append(np.asarray(p))
+                except Exception as exc:
+                    if "RESOURCE_EXHAUSTED" not in str(exc):
+                        raise
+                    chunk.append(np.zeros(p.shape, p.dtype))
+            outs.append(tuple(chunk))
+        if len(outs) == 1:
+            return outs[0]
+        return tuple(np.concatenate([o[i] for o in outs])
+                     for i in range(len(outs[0])))
+
+    def _resident_frames_cap(self, h: int, w: int, dtype) -> int:
+        """Frames of a stack that may be device-resident at once.
+
+        The raw upload plus the full-stack float32 prediction maps scale
+        with T (the per-chunk activation/postproc footprints are bounded
+        separately by ``_device_batch``/``_prep_chunk_cap``); a 300-frame
+        2048^2 distance stack would hold ~10 GB of predictions.  Callers
+        (``segment``/``predict_raw``) process the stack in super-chunks of
+        this many frames so HBM stays bounded in T."""
+        pred_bytes = 8 if self.label_type == "distance" else 12
+        per_frame = h * w * (np.dtype(dtype).itemsize + pred_bytes)
+        return max(1, (6 << 30) // max(per_frame, 1))
 
     def _predict_raw_dev(self, frames: np.ndarray) -> Tuple[jnp.ndarray, ...]:
         """``predict_raw`` with DEVICE-RESIDENT outputs: segment() feeds
@@ -379,9 +416,19 @@ class InferenceEngine:
             return
         if (th, tw) in self._quant_shapes:
             return
-        norm = self._normalize_batch(np.asarray(frames[:4]))
-        if (sh, sw) != norm.shape[1:]:
-            norm = np.asarray(self._rescale(norm, (sh, sw), "cubic"))
+        # the sample build itself can OOM (batched CLAHE one-hot at full
+        # frame resolution); respect the CLAHE chunk cap and fall back to
+        # dynamic activation scales like _ensure_quant_calibrated does
+        n = max(1, min(4, self._prep_chunk_cap(*frames.shape[1:])))
+        try:
+            norm = self._normalize_batch(np.asarray(frames[:n]))
+            if (sh, sw) != norm.shape[1:]:
+                norm = np.asarray(self._rescale(norm, (sh, sw), "cubic"))
+        except Exception as exc:
+            if "RESOURCE_EXHAUSTED" not in str(exc):
+                raise
+            self._quant_shapes.add((th, tw))
+            return
         padded = np.pad(norm, ((0, 0), (th - sh, 0), (tw - sw, 0)),
                         constant_values=-1.0)
         self._ensure_quant_calibrated(padded)
@@ -518,9 +565,16 @@ class InferenceEngine:
             return
         if (tile, tile) in self._quant_shapes:
             return
-        norm = self._normalize_batch(np.asarray(frames[:1]))
-        if (sh, sw) != norm.shape[1:]:
-            norm = np.asarray(self._rescale(norm, (sh, sw), "cubic"))
+        try:
+            norm = self._normalize_batch(np.asarray(frames[:1]))
+            if (sh, sw) != norm.shape[1:]:
+                norm = np.asarray(self._rescale(norm, (sh, sw), "cubic"))
+        except Exception as exc:  # CLAHE one-hot OOM at full resolution ->
+            # stay on dynamic activation scales
+            if "RESOURCE_EXHAUSTED" not in str(exc):
+                raise
+            self._quant_shapes.add((tile, tile))
+            return
         tiles, _ = extract_tiles(norm[0], tile, overlap)
         self._ensure_quant_calibrated(tiles)
 
@@ -536,6 +590,18 @@ class InferenceEngine:
             frames = frames[None]
         th_cell = self.cfg.th_cell if th_cell is None else th_cell
         th_seed = self.cfg.th_seed if th_seed is None else th_seed
+
+        # long 2D+t stacks: bound device residency in T (raw upload + full
+        # prediction maps) by segmenting super-chunks independently —
+        # per-frame normalization makes the split semantically free
+        cap = self._resident_frames_cap(frames.shape[1], frames.shape[2],
+                                        frames.dtype)
+        if frames.shape[0] > cap:
+            masks = np.empty(frames.shape, np.uint16)
+            for s in range(0, frames.shape[0], cap):
+                masks[s:s + cap] = self.segment(frames[s:s + cap],
+                                                th_cell, th_seed)
+            return masks
 
         # device-resident predictions: forward/stitch outputs feed the
         # on-device post-processing directly, only uint16 masks come home

@@ -127,6 +127,13 @@ class TestContours:
         np.testing.assert_allclose(roi_string_to_polygon(s),
                                    [[1, 2], [3, 4]])
 
+    def test_roi_string_mixed_arity_raises(self):
+        """'1,2,3 4' balances the total subtoken count (4 == 2 points x 2)
+        but is malformed; the fast path must not reshape it into scrambled
+        pairs — the defensive parser surfaces the corrupt ROI instead."""
+        with pytest.raises(ValueError):
+            roi_string_to_polygon("1,2,3 4")
+
     def test_indices(self):
         m = np.array([[0, 2], [2, 3]])
         idx = get_indices_pandas(m)

@@ -99,6 +99,24 @@ class TestEngine:
         mask = self._engine().segment(frames[0])
         assert mask.shape == frames[0].shape
 
+    def test_stack_superchunking_matches_resident(self, rng, monkeypatch):
+        """Long 2D+t stacks are processed in T super-chunks to bound the
+        device-resident bytes (raw upload + full prediction maps); per-frame
+        normalization makes the split exact, not approximate."""
+        frames = _frames_from_blobs(rng, n=5, shape=(60, 70))
+        eng = self._engine(batch_size=2)
+        full_masks = eng.segment(frames)
+        full_b, full_c = eng.predict_raw(frames)
+        # the real cap: a 300-frame 2048^2 uint16 distance stack must split
+        assert eng._resident_frames_cap(2048, 2048, np.uint16) < 300
+        monkeypatch.setattr(InferenceEngine, "_resident_frames_cap",
+                            lambda self, h, w, dtype: 2)
+        chunked = self._engine(batch_size=2)
+        np.testing.assert_array_equal(chunked.segment(frames), full_masks)
+        chk_b, chk_c = chunked.predict_raw(frames)
+        np.testing.assert_allclose(chk_b, full_b, atol=1e-6)
+        np.testing.assert_allclose(chk_c, full_c, atol=1e-6)
+
     def test_tiled_matches_full(self, rng):
         frames = _frames_from_blobs(rng, n=1, shape=(96, 96))
         full_b, full_c = self._engine().predict_raw(frames)
