@@ -51,9 +51,21 @@ class InferenceEngine:
                  cfg: Optional[InferConfig] = None, mesh=None,
                  max_seeds: Optional[int] = None):
         self.model = model
-        self.variables = variables
         self.label_type = label_type
         self.cfg = cfg or InferConfig()
+        # Device-resident weights, uploaded ONCE per engine and passed to
+        # every jitted forward as an ARGUMENT.  Closure-captured (or numpy)
+        # leaves would be inlined into the lowered module as literal
+        # constants — measured 93-185 MB of HLO per (bucket, batch)
+        # executable for the flagship, each paying its own trace (4-20 s) +
+        # compile (25-42 s) + first-execute constant upload (44 s at 512²,
+        # 3-4x that at 2048²) per fresh process, and oversizing the
+        # executables past what the persistent compilation cache handles.
+        if mesh is not None:
+            self.variables = jax.device_put(
+                variables, replicated_sharding(mesh))
+        else:
+            self.variables = jax.device_put(variables)
         if self.cfg.quantize and hasattr(model, "quantize"):
             # int8 forward: same param tree, eval-mode-only swap of the
             # large-spatial convs to the MXU int8 path (blocks.QuantConv);
@@ -103,9 +115,9 @@ class InferenceEngine:
         'quant' variable collection (blocks.QuantConv), after which every
         jitted forward uses static scales and the quantize/dequant passes
         fuse away.  Runs once PER PADDED SHAPE (larger frames quantize
-        more layers; maxima merge monotonically across shapes) and must
-        run before that shape's _forward_fn build — the jitted forwards
-        close over self.variables."""
+        more layers; maxima merge monotonically across shapes); the
+        forwards late-bind self.variables, and the updated tree structure
+        retraces them with the static scales."""
         if not self.cfg.quantize or not hasattr(self, "_quant_shapes"):
             return
         h, w = int(sample.shape[1]), int(sample.shape[2])
@@ -119,7 +131,9 @@ class InferenceEngine:
                                 mutable=["quant"]))
         try:
             _, updated = calib(self.variables, x)
-            self.variables = {**self.variables, **jax.device_get(updated)}
+            # keep leaves device-resident (numpy would re-inline the tree
+            # as HLO literals in every later forward)
+            self.variables = {**self.variables, **dict(updated)}
             self._forward_cache.clear()
         except Exception as exc:  # OOM -> stay on the dynamic-scale path
             if "RESOURCE_EXHAUSTED" not in str(exc):
@@ -134,10 +148,16 @@ class InferenceEngine:
         if key in self._forward_cache:
             return self._forward_cache[key]
 
-        model, variables = self.model, self.variables
+        model = self.model
         label_type = self.label_type
 
-        def forward(images):
+        # variables ride as an ARGUMENT, never a closure: closure-captured
+        # arrays are inlined into the lowered module as literal constants
+        # (93-185 MB of HLO per executable for the flagship), multiplying
+        # trace/compile/upload time per bucket and defeating the persistent
+        # compilation cache.  As an argument the weights are one shared
+        # device tree across every executable.
+        def forward(variables, images):
             # images: (B, Hb, Wb, 1) float32 already normalized to [-1, 1]
             preds = model.apply(variables, images, train=False)
             if label_type == "distance":
@@ -148,12 +168,16 @@ class InferenceEngine:
             return probs[:, pad_y:, pad_x:, :]
 
         if self.mesh is not None:
-            bsh = batch_sharding(self.mesh)
-            fn = jax.jit(forward, in_shardings=bsh)
+            fn = jax.jit(forward,
+                         in_shardings=(replicated_sharding(self.mesh),
+                                       batch_sharding(self.mesh)))
         else:
             fn = jax.jit(forward)
-        self._forward_cache[key] = fn
-        return fn
+        # late-bound so quant calibration's variable updates are picked up
+        # (a changed tree structure simply retraces)
+        wrapped = lambda *a: fn(self.variables, *a)  # noqa: E731
+        self._forward_cache[key] = wrapped
+        return wrapped
 
     def _prep_ops(self, x: jnp.ndarray) -> jnp.ndarray:
         """Traced pre-processing: raw (B, H, W) frames (any uploaded dtype)
@@ -193,10 +217,11 @@ class InferenceEngine:
         sw = max(int(round(w * scale)), 1) if scale < 1 else w
         th, tw = pad_bucket_shape(sh, sw)
         pad_y, pad_x = th - sh, tw - sw
-        model, variables = self.model, self.variables
+        model = self.model
         label_type = self.label_type
 
-        def forward(raw):
+        # variables as ARGUMENT, not closure — see _forward_fn
+        def forward(variables, raw):
             x = self._prep_ops(raw)
             if scale < 1:
                 # reference Scaling: order-2 down (inference_dataset.py:
@@ -221,11 +246,14 @@ class InferenceEngine:
             return probs
 
         if self.mesh is not None:
-            fn = jax.jit(forward, in_shardings=batch_sharding(self.mesh))
+            fn = jax.jit(forward,
+                         in_shardings=(replicated_sharding(self.mesh),
+                                       batch_sharding(self.mesh)))
         else:
             fn = jax.jit(forward)
-        self._forward_cache[key] = fn
-        return fn
+        wrapped = lambda *a: fn(self.variables, *a)  # noqa: E731
+        self._forward_cache[key] = wrapped
+        return wrapped
 
     def _extract_fn(self, tile: int, pos):
         """Jitted device tile extraction: normalized (B, H, W) frames ->

@@ -21,21 +21,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from microbeseg_tpu.ops.morphology import generate_binary_structure
+from microbeseg_tpu.ops.morphology import (
+    _select_window,
+    generate_binary_structure,
+)
 
 
 def _neighbor_max(labels: jnp.ndarray, se: np.ndarray) -> jnp.ndarray:
-    kh, kw = se.shape
-    ph, pw = kh // 2, kw // 2
-    xp = jnp.pad(labels, ((ph, ph), (pw, pw)))
-    H, W = labels.shape
-    out = labels
-    for dy in range(kh):
-        for dx in range(kw):
-            if not se[dy, dx]:
-                continue
-            out = jnp.maximum(out, xp[dy:dy + H, dx:dx + W])
-    return out
+    # one shared shifted-slice reduction (morphology._select_window) for
+    # all window helpers; the extra maximum keeps the pixel's own label
+    # even for SEs without a center
+    return jnp.maximum(labels, _select_window(labels, se, jnp.maximum, 0))
 
 
 @partial(jax.jit, static_argnames=("connectivity", "max_iters",

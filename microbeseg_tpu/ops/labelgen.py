@@ -236,7 +236,6 @@ def _one_instance(label, inst_id, cy, cx, radius, S, chunk):
     neighbor = (1.0 - nb_scaled) * nucleus
     neighbor = jnp.where(has_neighbor & (max_nb > 0) & (max_dist > 0),
                          neighbor, 0.0)
-    cell = jnp.where(max_dist > 0, cell, 0.0)
     return cell, neighbor, sy, sx
 
 
@@ -308,6 +307,45 @@ def _closing_canvas(label, ids, cys, cxs, radius, S, se):
     return canvas > 0
 
 
+def _gap_ring_sums(gaps: jnp.ndarray, label_nb: jnp.ndarray,
+                   max_gaps: int) -> jnp.ndarray:
+    """Per-gap boundary sum: Σ label_nb over each gap's 8-connected ring
+    (pixels adjacent to the gap but not in it), slots 1..max_gaps.
+
+    Two regimes, switched like the seed-prune histogram
+    (ops/postprocessing.py): a per-gap vmap is measured-free at crop-scale
+    capacities but materializes (max_gaps, H, W) intermediates — ~13 GB at
+    a 2048^2 frame with 3072 gap slots — so above 256 slots the sums run
+    linear in pixels: each pixel finds its <=8 DISTINCT neighboring gap
+    ids by shift comparison (dedup across shifts keeps a pixel counted
+    once per gap, matching the ring semantics) and scatter-adds its
+    label_nb into each."""
+    if max_gaps <= 256:
+        se_ring = np.ones((3, 3), dtype=bool)
+
+        def gap_fields(g):
+            region = gaps == g
+            ring = binary_dilation(region, se_ring) ^ region
+            return jnp.sum(ring * label_nb)
+
+        gids = jnp.arange(1, max_gaps + 1, dtype=jnp.int32)
+        return jax.vmap(gap_fields)(gids)
+
+    H, W = gaps.shape
+    padded = jnp.pad(gaps, 1)
+    shifted = [padded[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+               for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+               if (dy, dx) != (0, 0)]
+    total = jnp.zeros(max_gaps + 1, jnp.float32)
+    for k, s in enumerate(shifted):
+        contrib = (s > 0) & (s <= max_gaps) & (s != gaps)
+        for j in range(k):  # dedup: count each (pixel, gap) pair once
+            contrib &= shifted[j] != s
+        total = total.at[jnp.where(contrib, s, 0)].add(
+            jnp.where(contrib, label_nb, 0.0))
+    return total[1:]
+
+
 @partial(jax.jit, static_argnames=("max_instances", "window", "max_gaps", "chunk"))
 def distance_label_device(label: jnp.ndarray, radius: jnp.ndarray,
                           max_instances: int = 128, window: int = 64,
@@ -337,16 +375,7 @@ def distance_label_device(label: jnp.ndarray, radius: jnp.ndarray,
                               max_labels=max_gaps)
     gprops = regionprops(gaps, max_labels=max_gaps)
 
-    # boundary-sum per gap: ring pixels of each gap, via per-gap vmap
-    se_ring = np.ones((3, 3), dtype=bool)
-
-    def gap_fields(g):
-        region = gaps == g
-        ring = binary_dilation(region, se_ring) ^ region
-        return jnp.sum(ring * label_nb)
-
-    gids = jnp.arange(1, max_gaps + 1, dtype=jnp.int32)
-    ring_sums = jax.vmap(gap_fields)(gids)
+    ring_sums = _gap_ring_sums(gaps, label_nb, max_gaps)
 
     areas = gprops.area
     th = jnp.where(areas <= 20, 5.0,
@@ -468,6 +497,12 @@ def get_label(mask: np.ndarray, label_type: str, max_mal: int = 0):
         return np.asarray(j4_label(jnp.asarray(mask.astype(np.int32))))
 
     dense, n = _dense_relabel(mask)
+    if n + 1 > 8192:
+        # _bucket saturates at its top entry; past it, instances would get
+        # silently ZERO labels — fail loudly instead
+        raise ValueError(
+            f"{n} instances exceed the 8192-instance label-generation "
+            f"capacity; split the frame into crops")
     radius = int(np.ceil(0.75 * max_mal))
     H, W = mask.shape
     # the (S, S) window must satisfy S >= 2*radius or the per-instance

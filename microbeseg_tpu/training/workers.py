@@ -47,8 +47,13 @@ def create_labels(path: Path, label_type: str,
             text_output("Stop label creation due to user interaction.")
             return False
         mask = imread(mask_id)
+        # every radius-windowed label type needs the measured major axis
+        # (the reference computes it unconditionally, train.py:74-84);
+        # max_mal=0 would shrink the EDT window to nothing and emit
+        # all-zero labels
         max_mal = (max_major_axis_length(mask)
-                   if label_type == "distance" else 0)
+                   if label_type in ("distance", "cell_dist",
+                                     "cell_dist_clipped") else 0)
         label = get_label(mask=mask, label_type=label_type, max_mal=max_mal)
         fname = mask_id.name.split("mask_")[-1]
         if label_type == "distance":

@@ -224,3 +224,34 @@ class TestOtherLabels:
     def test_dispatch_unknown(self):
         with pytest.raises(ValueError):
             labelgen.get_label(np.zeros((8, 8)), "nope")
+
+
+class TestGapRingSums:
+    def test_scatter_path_matches_oracle_and_vmap(self, rng):
+        """Above 256 gap slots the ring sums switch from the per-gap vmap
+        (O(max_gaps*H*W) intermediates) to a shift-dedup scatter-add linear
+        in pixels; both must equal the scipy ring oracle."""
+        import jax.numpy as jnp
+        from scipy import ndimage
+
+        g = rng.integers(0, 300, (48, 48)).astype(np.int32)
+        nb = rng.random((48, 48)).astype(np.float32)
+
+        def oracle(max_gaps):
+            exp = np.zeros(max_gaps, np.float64)
+            for gid in range(1, max_gaps + 1):
+                region = g == gid
+                if not region.any():
+                    continue
+                ring = ndimage.binary_dilation(
+                    region, np.ones((3, 3), bool)) ^ region
+                exp[gid - 1] = nb[ring].sum()
+            return exp
+
+        scatter = np.asarray(labelgen._gap_ring_sums(
+            jnp.asarray(g), jnp.asarray(nb), 300))
+        np.testing.assert_allclose(scatter, oracle(300), rtol=1e-5)
+        vmap = np.asarray(labelgen._gap_ring_sums(
+            jnp.asarray(np.where(g <= 200, g, 0)), jnp.asarray(nb), 200))
+        g = np.where(g <= 200, g, 0).astype(np.int32)
+        np.testing.assert_allclose(vmap, oracle(200), rtol=1e-5)

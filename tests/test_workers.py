@@ -38,6 +38,16 @@ class TestCreateLabels:
         assert len(b) == 3
         assert set(np.unique(imread(b[0]))) <= {0, 1, 2}
 
+    def test_cell_dist_labels_nonzero(self, tmp_path, rng):
+        """cell_dist/cell_dist_clipped need the measured major axis too:
+        max_mal=0 shrinks the EDT window to nothing and silently writes
+        all-zero labels (regression: the measurement was 'distance'-only)."""
+        root = _make_trainset(tmp_path, rng)
+        assert workers.create_labels(root, "cell_dist")
+        for f in sorted((root / "train").glob("cell_dist_*.tif")):
+            lbl = imread(f)
+            assert lbl.max() > 0.5
+
     def test_too_few_masks(self, tmp_path, rng):
         root = _make_trainset(tmp_path, rng, n_train=1, n_val=1)
         assert not workers.create_labels(root, "distance")
