@@ -239,19 +239,34 @@ def polygon_to_mask(poly_xy: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:
         return m
     x = poly[:, 0]
     y = poly[:, 1]
-    x2 = np.roll(x, -1)
-    y2 = np.roll(y, -1)
 
-    yy = np.arange(H, dtype=np.float64)[:, None, None]   # (H, 1, 1)
-    xx = np.arange(W, dtype=np.float64)[None, :, None]   # (1, W, 1)
+    # bound all work to the polygon's bbox, like the native path: the
+    # crossing test materializes (h, w, n_vertices) intermediates, which at
+    # full-frame extent is GBs per polygon x thousands of polygons/frame —
+    # a per-instance full-frame scan, the documented scale killer
+    y0 = max(int(np.floor(y.min())), 0)
+    y1 = min(int(np.ceil(y.max())) + 1, H)
+    x0 = max(int(np.floor(x.min())), 0)
+    x1 = min(int(np.ceil(x.max())) + 1, W)
+    inside = np.zeros(shape, bool)
+    if y1 <= y0 or x1 <= x0:
+        return inside
+    xl = x - x0
+    yl = y - y0
+    x2 = np.roll(xl, -1)
+    y2 = np.roll(yl, -1)
+
+    h, w = y1 - y0, x1 - x0
+    yy = np.arange(h, dtype=np.float64)[:, None, None]   # (h, 1, 1)
+    xx = np.arange(w, dtype=np.float64)[None, :, None]   # (1, w, 1)
     # crossing-number test per pixel center
-    cond = ((y[None, None, :] <= yy) & (y2[None, None, :] > yy)) | \
-           ((y2[None, None, :] <= yy) & (y[None, None, :] > yy))
+    cond = ((yl[None, None, :] <= yy) & (y2[None, None, :] > yy)) | \
+           ((y2[None, None, :] <= yy) & (yl[None, None, :] > yy))
     with np.errstate(divide="ignore", invalid="ignore"):
-        t = (yy - y[None, None, :]) / (y2[None, None, :] - y[None, None, :])
-    xint = x[None, None, :] + t * (x2[None, None, :] - x[None, None, :])
+        t = (yy - yl[None, None, :]) / (y2[None, None, :] - yl[None, None, :])
+    xint = xl[None, None, :] + t * (x2[None, None, :] - xl[None, None, :])
     crossings = np.sum(cond & (xx < xint), axis=-1)
-    inside = (crossings % 2) == 1
+    inside[y0:y1, x0:x1] = (crossings % 2) == 1
     # include boundary vertices (skimage.draw.polygon includes the outline
     # pixels of integer-coordinate polygons in almost all cases)
     xs = np.clip(np.round(x).astype(int), 0, W - 1)

@@ -441,6 +441,29 @@ def _with_reconnect(fn):
     return wrapper
 
 
+def _reconnect_reraise(fn):
+    """On a gateway error: heal the connection, then RE-RAISE.
+
+    For non-idempotent mutators (image/ROI/attachment uploads, dataset
+    creation) a blind retry after a MID-CALL drop would duplicate whatever
+    the server already persisted (e.g. thousands of ROIs saved before the
+    drop).  The reconnect keeps subsequent store calls working; the caller
+    decides whether repeating the mutation is safe."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        try:
+            return fn(self, *args, **kwargs)
+        except Exception:
+            try:
+                self._reconnect()
+            except Exception:
+                pass
+            raise
+    return wrapper
+
+
 class OmeroStore(ImageStore):
     """BlitzGateway-backed store (requires omero-py; import-gated).
 
@@ -476,8 +499,10 @@ class OmeroStore(ImageStore):
         if not conn.connect():
             raise ConnectionError("No OMERO connection possible. "
                                   "Check inputs or connection.")
-        # "-1" = all groups (reference infer_script.py:77)
-        conn.SERVICE_OPTS.setOmeroGroup("-1")
+        # "-1" = all groups (reference infer_script.py:77); a reconnect
+        # must re-apply the user-selected group or set_group() would be
+        # silently undone by any transient gateway error
+        conn.SERVICE_OPTS.setOmeroGroup(str(getattr(self, "_group", -1)))
         self._conn = conn
 
     def _reconnect(self) -> None:
@@ -512,7 +537,7 @@ class OmeroStore(ImageStore):
                     yield ann
 
     # -- datasets / projects ----------------------------------------------
-    @_with_reconnect
+    @_reconnect_reraise
     def create_dataset(self, name: str, project_id: int = -1) -> int:
         # reference microbe_seg_gui.py:1929-1987 (trainset creation)
         ds = self._omero.model.DatasetI()
@@ -594,7 +619,7 @@ class OmeroStore(ImageStore):
                 if namespace is None or ann.getNs() == namespace:
                     yield ann
 
-    @_with_reconnect
+    @_reconnect_reraise
     def attach_dataset_file(self, dataset_id: int, path: Path,
                             namespace: str = "") -> None:
         # reference microbe_seg_gui.py:2782-2796 (split_info.json re-upload)
@@ -669,7 +694,7 @@ class OmeroStore(ImageStore):
         pixels = self._image(image_id).getPrimaryPixels()
         return np.asarray(pixels.getPlane(z, c, t))
 
-    @_with_reconnect
+    @_reconnect_reraise
     def upload_image(self, dataset_id: int, name: str,
                      stack: np.ndarray) -> int:
         # reference src/utils/data_import.py:197-230 / gui:2725-2740
@@ -747,7 +772,7 @@ class OmeroStore(ImageStore):
                         points=shape.getPoints().getValue()))
         return out
 
-    @_with_reconnect
+    @_reconnect_reraise
     def add_polygons(self, image_id: int, polys: List[RoiPolygon]) -> None:
         # reference src/utils/data_import.py:289-305 (create_roi)
         update = self._conn.getUpdateService()
@@ -772,7 +797,7 @@ class OmeroStore(ImageStore):
             self._conn.deleteObjects("Roi", roi_ids, wait=True)
 
     # -- file attachments -----------------------------------------------------
-    @_with_reconnect
+    @_reconnect_reraise
     def attach_file(self, image_id: int, path: Path,
                     namespace: str = "") -> None:
         # reference src/inference/analysis.py:181-194

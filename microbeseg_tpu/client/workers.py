@@ -146,13 +146,19 @@ def import_data(store: ImageStore, dataset_id: int, img_paths: Sequence[Path],
         mask = imread(mp) if mp is not None else None
         if img.ndim == 3 and img.shape[-1] == 3:
             img = img.mean(-1).astype(img.dtype)  # RGB -> grayscale
+        # frame stats from the ORIGINAL image, before padding/cropping —
+        # all crops of one image share them (reference data_import.py:
+        # 125-131 computes them first; per-crop stats on a zero-padded
+        # crop would store min_frame=0 and skew the export renormalization)
+        stats = dict(min_frame=float(img.min()),
+                     max_frame=float(img.max()),
+                     mean_frame=float(img.mean()),
+                     std_frame=float(img.std()))
         crops = _grid_crops(img, mask, crop_size)
+        # ONE split draw per image: different crops of the same image stay
+        # in the same set (reference :188-194)
+        subset = rng.choice(["train", "val", "test"], p=split_probs)
         for crop_img, crop_mask, (cy, cx) in crops:
-            subset = rng.choice(["train", "val", "test"], p=split_probs)
-            stats = dict(min_frame=float(crop_img.min()),
-                         max_frame=float(crop_img.max()),
-                         mean_frame=float(crop_img.mean()),
-                         std_frame=float(crop_img.std()))
             iid = store.upload_image(
                 dataset_id,
                 f"img_ext{split_info['num_ext']:03d}.tif",  # reference :201
@@ -179,8 +185,12 @@ def _grid_crops(img: np.ndarray, mask: Optional[np.ndarray], crop_size: int):
     out = []
     if H <= crop_size or W <= crop_size:
         ph, pw = max(crop_size - H, 0), max(crop_size - W, 0)
-        img_p = np.pad(img, ((0, ph), (0, pw)))
-        mask_p = np.pad(mask, ((0, ph), (0, pw))) if mask is not None else None
+        if ph > H or pw > W:
+            return out  # too much padding needed -> skip (reference :139-141)
+        # centered zero padding (reference :143-148)
+        pads = ((int(np.ceil(ph / 2)), ph // 2), (int(np.ceil(pw / 2)), pw // 2))
+        img_p = np.pad(img, pads)
+        mask_p = np.pad(mask, pads) if mask is not None else None
         out.append((img_p[:crop_size, :crop_size],
                     None if mask_p is None else mask_p[:crop_size, :crop_size],
                     (0, 0)))

@@ -216,6 +216,10 @@ class Evaluator:
                         shutil.move(str(f), str(prediction_path / f.name))
                 shutil.rmtree(sub_dir)
             names, vals = best[5], best[6]
+            if names is None:
+                # stopped before (or no) prediction dirs were scored —
+                # abort cleanly like a mid-scoring stop
+                return None
             df = pd.DataFrame({"test image": names, "aji+": vals})
             df = df.sort_values(by=["test image"])
             df.to_csv(prediction_path / "scores.csv", header=True, index=False)
@@ -223,8 +227,8 @@ class Evaluator:
             return best[0], best[1], best[2], best[3], version
 
         res = self._score_dir(prediction_path, test_set_path)
-        if res is None:
-            return None
+        if res is None or not res[0]:
+            return None  # stopped before any prediction was scored
         names, vals = res
         df = pd.DataFrame({"test image": names, "aji+": vals})
         df = df.sort_values(by=["test image"])

@@ -419,7 +419,9 @@ class Trainer:
 
             self.progress(int(100 * (epoch + 1) / run_epochs))
 
-            if epochs_wo_improvement == break_condition:
+            # >= not ==: a resume under a different schedule could land
+            # past the exact threshold and would otherwise never break
+            if epochs_wo_improvement >= break_condition:
                 self.text_output(
                     f"{epochs_wo_improvement} epochs without val loss "
                     "improvement --> break")
@@ -497,11 +499,15 @@ class Trainer:
         for start in range(0, n, step_bs):
             idx = np.resize(order[start:] if start + step_bs > n
                             else order[start:start + step_bs], step_bs)
+            # host-side numpy accumulation: the stats are already fetched,
+            # and per-leaf eager jnp ops would re-dispatch one tiny device
+            # op per BatchNorm leaf per batch (CLAUDE.md: tiny eager
+            # compiles are ~0.4 s each server-side and never persisted)
             stats = jax.device_get(stat_step(params, images[idx]))
             if sum_mean is None:
-                sum_mean = jax.tree.map(jnp.zeros_like, stats)
-                sum_msq = jax.tree.map(jnp.zeros_like, stats)
-            sum_mean = jax.tree.map(jnp.add, sum_mean, stats)
+                sum_mean = jax.tree.map(np.zeros_like, stats)
+                sum_msq = jax.tree.map(np.zeros_like, stats)
+            sum_mean = jax.tree.map(np.add, sum_mean, stats)
             sum_msq = jax.tree.map(lambda acc, s: acc + s * s, sum_msq, stats)
             n_batches += 1
 
@@ -514,8 +520,8 @@ class Trainer:
                     e_mean_sq = col_msq[layer]["mean"] / n_batches
                     out[layer] = {
                         "mean": e_mean,
-                        "var": e_var + jnp.maximum(e_mean_sq - e_mean ** 2,
-                                                   0.0),
+                        "var": e_var + np.maximum(e_mean_sq - e_mean ** 2,
+                                                  0.0),
                     }
                 else:
                     out[layer] = _combine(stats_m, col_msq[layer])
@@ -577,7 +583,9 @@ class Trainer:
                 "normalization": cfg.model.normalization,
                 "label_type": cfg.label_type, "loss": cfg.loss,
                 "unet_type": cfg.model.unet_type,
-                "act_fun": cfg.model.act_fun}
+                "act_fun": cfg.model.act_fun,
+                # max_epochs shapes break_condition and scheduler patience
+                "max_epochs": cfg.max_epochs}
 
     def _snapshot_mismatch(self, host: dict) -> list:
         """Fingerprint keys on which the snapshot differs from this run's
@@ -610,6 +618,17 @@ class Trainer:
 
     def fit(self, data: TrainingData, print_output: bool = False,
             resume: bool = False) -> float:
+        try:
+            return self._fit(data, print_output, resume)
+        finally:
+            # drop pinned HBM even when train() raises (OOM ladder,
+            # callback errors, transport failures) — a failed Trainer held
+            # by a long-lived GUI session must not keep GB-scale trainset
+            # copies and weight snapshots on device
+            self._release_device_cache()
+
+    def _fit(self, data: TrainingData, print_output: bool,
+             resume: bool) -> float:
         import dataclasses
         if self.cfg.max_epochs is None:
             self.cfg = dataclasses.replace(
@@ -641,7 +660,6 @@ class Trainer:
                     data, variables=getattr(self, "_last_best_vars", None))
                 write_sidecar(cfg, self.path_models, extra=extra)
                 self._drop_train_state()
-            self._release_device_cache()
             return best
 
         best = self.train(data, print_output=print_output, resume=resume)
@@ -668,7 +686,6 @@ class Trainer:
             # make a later --resume latch onto this completed run and
             # overwrite its checkpoint
             self._drop_train_state()
-        self._release_device_cache()
         return best
 
     def _release_device_cache(self) -> None:
