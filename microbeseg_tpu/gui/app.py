@@ -296,7 +296,9 @@ class MicrobeSegMainWindow(QMainWindow):
         buttons = [
             ("Import data", self.on_import),
             ("Create crops", self.on_create_crops),
-            ("Annotate", self.on_annotate),
+            # lambda, not the bare method: QPushButton.clicked emits a
+            # bool that would land in `mode` and break the deep-link branch
+            ("Annotate", lambda: self.on_annotate()),
             ("Export trainset", self.on_export),
             ("Train", self.on_train),
             ("Evaluate", self.on_evaluate),
@@ -510,20 +512,46 @@ class MicrobeSegMainWindow(QMainWindow):
         bridge.moveToThread(thread)
         bridge.text_output.connect(self.log.append)
         bridge.progress.connect(self.progress_bar.setValue)
-
-        def done(result):
-            self.statusBar().showMessage("Ready")
-            self._active_bridge = None
-            thread.quit()
-            if on_done:
-                on_done(result)
-
-        bridge.finished.connect(done)
+        bridge._on_done = on_done
+        bridge._thread = thread
+        # completion MUST land on the GUI thread: connecting a bound method
+        # of this QMainWindow gives a queued cross-thread connection, while
+        # a plain closure slot would execute in the worker thread and touch
+        # widgets from there (intermittent crashes in real Qt)
+        bridge.finished.connect(self._worker_finished)
         thread.started.connect(bridge.run)
         self._threads.append((thread, bridge))
         self._active_bridge = bridge
         self.statusBar().showMessage("Busy")
         thread.start()
+
+    def _worker_finished(self, result):
+        """GUI-thread completion slot for every WorkerBridge."""
+        bridge = self._active_bridge
+        self.statusBar().showMessage("Ready")
+        self._active_bridge = None
+        if bridge is None:
+            return
+        bridge._thread.quit()
+        bridge._thread.wait()
+        # prune finished jobs so long sessions do not accumulate one
+        # QThread + bridge (plus captured args) per job
+        self._threads = [(t, b) for t, b in self._threads if b is not bridge]
+        if bridge._on_done:
+            bridge._on_done(result)
+
+    def closeEvent(self, event):  # noqa: N802 (Qt naming)
+        """Stop any running job and wait its thread out before the window
+        dies — destroying a live QThread aborts the process in real Qt."""
+        if self._active_bridge is not None:
+            self._active_bridge.stop()
+        for thread, _ in self._threads:
+            thread.quit()
+            thread.wait()
+        self._threads = []
+        parent_close = getattr(super(), "closeEvent", None)
+        if parent_close is not None:  # absent on the headless fake
+            parent_close(event)
 
     def on_stop(self):
         if self._active_bridge is not None:
@@ -831,16 +859,34 @@ class MicrobeSegMainWindow(QMainWindow):
         self._next_crop_set()
 
     def _next_crop_set(self):
+        """Produce the next 1-3 crop proposals on the worker thread: plane
+        downloads and pre-label inference must not block the event loop
+        (the reference runs its DataCropWorker on a QThread the same way,
+        gui:2121-2329)."""
         self._accepted = set()
-        while self._crop_items:
-            image_id, frame = self._crop_items.pop()
-            self._crops = self._crop_gen.next_crops(image_id, frame)
-            if self._crops:
-                self._crop_idx = 0
-                self._show_crop()
-                return
         self._crops = []
-        self.log.append("Crop creation finished.")
+        if not self._crop_items:
+            self.log.append("Crop creation finished.")
+            return
+        items, gen = self._crop_items, self._crop_gen
+
+        def produce(text_output, progress, should_stop):
+            while items and not should_stop():
+                image_id, frame = items.pop()
+                crops = gen.next_crops(image_id, frame)
+                if crops:
+                    return crops
+            return []
+
+        self._run_worker(produce, on_done=self._crop_set_ready)
+
+    def _crop_set_ready(self, crops):
+        self._crops = crops or []
+        if not self._crops:
+            self.log.append("Crop creation finished.")
+            return
+        self._crop_idx = 0
+        self._show_crop()
 
     def _show_crop(self):
         if not self._crops:

@@ -134,7 +134,11 @@ class InferenceEngine:
             # keep leaves device-resident (numpy would re-inline the tree
             # as HLO literals in every later forward)
             self.variables = {**self.variables, **dict(updated)}
-            self._forward_cache.clear()
+            # no cache clear: the cached wrappers late-bind self.variables,
+            # and the added 'quant' collection changes the tree structure,
+            # which retraces the forwards on their next call anyway —
+            # clearing would also throw away the variable-free prep/tile
+            # executables (re-jit costs on the ~25 ms-latency tunnel)
         except Exception as exc:  # OOM -> stay on the dynamic-scale path
             if "RESOURCE_EXHAUSTED" not in str(exc):
                 raise
@@ -467,10 +471,17 @@ class InferenceEngine:
         materializes an (H*W, nbins) bf16 one-hot per frame at UNSCALED
         resolution (ops/augment.clahe — ~2.1 GB at 2048^2), which the
         model-activation-based `_device_batch` knows nothing about; cap so
-        the one-hot stays under ~2 GB per chunk."""
+        the one-hot stays under ~2 GB per chunk (per chip — under a mesh
+        the cap multiplies by the device count, keeping every chunk
+        divisible by the mesh size like `_device_batch`)."""
         if not self.cfg.apply_clahe:
             return 1 << 30
-        return max(1, (2 << 30) // (h * w * 256 * 2))
+        return max(1, (2 << 30) // (h * w * 256 * 2)) * self._n_devices
+
+    @property
+    def _n_devices(self) -> int:
+        return 1 if self.mesh is None else int(
+            np.prod(list(self.mesh.shape.values())))
 
     def _device_batch(self, h: int, w: int) -> int:
         """Frames/tiles per device call, scaled by area so the activation
@@ -478,10 +489,16 @@ class InferenceEngine:
         calibration size; 16 measured optimal on v5e) and larger buckets
         batch fewer frames — the batch-16 default must not OOM a 1024^2
         bucket.  The 2x headroom factor is measured: 512^2 runs 5.9 ms/crop
-        at batch 8 vs 9.5 at the area-proportional batch 4."""
+        at batch 8 vs 9.5 at the area-proportional batch 4.
+
+        Under a mesh the PER-CHIP cap multiplies by the device count (DP
+        scaling) — which also keeps the global batch divisible by the
+        mesh size, a hard requirement of the sharded jits (a non-divisible
+        chunk raises at dispatch)."""
         area = max(h * w, 1)
-        return max(1, min(self.cfg.batch_size,
-                          (self.cfg.batch_size * 2 * 256 * 256) // area))
+        per_chip = max(1, min(self.cfg.batch_size,
+                              (self.cfg.batch_size * 2 * 256 * 256) // area))
+        return per_chip * self._n_devices
 
     def _predict_tiled(self, frames: np.ndarray) -> Tuple[jnp.ndarray, ...]:
         """Sliding-window path for images beyond the pad-bucket table.
@@ -500,11 +517,14 @@ class InferenceEngine:
         scale = self.cfg.scale_factor
         sh = max(int(round(H * scale)), 1) if scale < 1 else H
         sw = max(int(round(W * scale)), 1) if scale < 1 else W
-        if min(sh, sw) < tile:
-            raise ValueError(
-                f"image {sh}x{sw} smaller than tile {tile}; shrink tile_size")
-        ys = tile_positions(sh, tile, overlap)
-        xs = tile_positions(sw, tile, overlap)
+        # narrow frames (one side below the tile): tile over the PADDED
+        # extent and crop the stitched maps back — forced tiling on e.g.
+        # 256x2048 frames, or genuinely huge narrow images beyond the
+        # bucket table, must not fail
+        ph = max(tile - sh, 0)
+        pw = max(tile - sw, 0)
+        ys = tile_positions(sh + ph, tile, overlap)
+        xs = tile_positions(sw + pw, tile, overlap)
         pos = [(y, x) for y in ys for x in xs]
         n = len(pos)
         bs_tile = self._device_batch(tile, tile)
@@ -532,6 +552,10 @@ class InferenceEngine:
                     [chunk, jnp.zeros((bs0 - chunk.shape[0], H, W),
                                       raw.dtype)])
             norm = prep(chunk)                   # (bs0, sh, sw) on device
+            if ph or pw:  # narrow frame: pad to the tile extent (-1 =
+                # normalized minimum, same value as bucket padding)
+                norm = jnp.pad(norm, ((0, 0), (0, ph), (0, pw)),
+                               constant_values=-1.0)
             flat = extract(norm).reshape(bs0 * n, tile, tile)
             m = bs0 * n
             pad_t = (-m) % bs_tile
@@ -545,17 +569,20 @@ class InferenceEngine:
                     [p[0] for p in preds])[:m].reshape(bs0, n, tile, tile)
                 c_all = jnp.concatenate(
                     [p[1] for p in preds])[:m].reshape(bs0, n, tile, tile)
-                stitched.append((stitch_tiles_device(b_all, pos, (sh, sw)),
-                                 stitch_tiles_device(c_all, pos, (sh, sw))))
+                stitched.append(
+                    (stitch_tiles_device(b_all, pos,
+                                         (sh + ph, sw + pw))[:, :sh, :sw],
+                     stitch_tiles_device(c_all, pos,
+                                         (sh + ph, sw + pw))[:, :sh, :sw]))
             else:
                 probs = jnp.concatenate(preds)[:m].reshape(
                     bs0, n, tile, tile, 3)
                 # channels ride the stitch batch axis: (bs0*3, n, tile, tile)
                 chan = jnp.moveaxis(probs, -1, 1).reshape(
                     bs0 * 3, n, tile, tile)
-                sp = stitch_tiles_device(chan, pos, (sh, sw))
-                stitched.append(
-                    (jnp.moveaxis(sp.reshape(bs0, 3, sh, sw), 1, -1),))
+                sp = stitch_tiles_device(chan, pos, (sh + ph, sw + pw))
+                sp = sp.reshape(bs0, 3, sh + ph, sw + pw)[:, :, :sh, :sw]
+                stitched.append((jnp.moveaxis(sp, 1, -1),))
 
         parts = tuple(jnp.concatenate([c[i] for c in stitched])[:T]
                       for i in range(len(stitched[0])))
@@ -699,7 +726,13 @@ class InferenceEngine:
     def segment_grid(self, frame: np.ndarray,
                      th_pairs) -> np.ndarray:
         """Threshold-grid segmentation of one frame: (n, H, W) uint16
-        (device-parallel over the grid; used by evaluation)."""
+        (device-parallel over the grid; used by evaluation).  Distance
+        models only — the boundary method has no thresholds to grid over
+        (reference eval.py:127-131 applies the grid to 'distance')."""
+        if self.label_type != "distance":
+            raise ValueError(
+                "segment_grid applies only to distance models; use "
+                "segment() for the boundary method (no threshold grid)")
         border, cell = self._predict_raw_dev(frame[None])
         return np.asarray(distance_postprocessing_grid(
             border[0], cell[0],

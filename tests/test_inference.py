@@ -126,6 +126,18 @@ class TestEngine:
         # analytic model is shift-invariant => stitched == full
         np.testing.assert_allclose(til_c, full_c, atol=1e-4)
 
+    def test_tiled_narrow_frame_pads_short_side(self, rng):
+        """Forced tiling on a frame whose SHORT side is below the tile must
+        pad and crop back, not raise (e.g. 48x96 with tile 64 — the GUI's
+        sliding-window checkbox applies to whole datasets)."""
+        frames = _frames_from_blobs(rng, n=1, shape=(48, 96))
+        full_b, full_c = self._engine().predict_raw(frames)
+        tiled_engine = self._engine(use_tiling=True, tile_size=64,
+                                    tile_overlap=16, batch_size=2)
+        til_b, til_c = tiled_engine.predict_raw(frames)
+        assert til_c.shape == (1, 48, 96)
+        np.testing.assert_allclose(til_c, full_c, atol=1e-4)
+
     def test_segment_grid(self, rng):
         frames = _frames_from_blobs(rng, n=1)
         ths = [(0.05, 0.35), (0.10, 0.45)]
@@ -306,6 +318,22 @@ class TestShardedEngine:
         x01 = (frames[3].astype(np.float32) - frames[3].min()) / (
             frames[3].max() - frames[3].min())
         np.testing.assert_allclose(cell[3], x01, atol=1e-4)
+
+    def test_mesh_batch_always_divisible(self, rng):
+        """Sharded jits require the chunk batch to divide by the mesh size;
+        _device_batch must scale its per-chip cap by the device count (a
+        per-chip cap of 3 on an 8-device mesh used to raise at dispatch)."""
+        from microbeseg_tpu.parallel.mesh import get_mesh
+
+        mesh = get_mesh(8)
+        engine = InferenceEngine(AnalyticModel(), {}, "distance",
+                                 cfg=InferConfig(batch_size=3), mesh=mesh)
+        assert engine._device_batch(60, 70) % 8 == 0
+        frames = _frames_from_blobs(rng, n=5, shape=(60, 70))
+        border, cell = engine.predict_raw(frames)  # 5 pads to one chunk
+        assert cell.shape == (5, 60, 70)
+        masks = engine.segment(frames)
+        assert masks.shape == (5, 60, 70)
 
 
 class TestDeviceStitching:
