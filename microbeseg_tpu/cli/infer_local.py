@@ -60,7 +60,10 @@ def dispatch_shape(img: np.ndarray, channel: int):
             return img[channel][None]
         return img  # (T, H, W)
     if img.ndim == 4:
-        return img[:, channel]
+        # our imread stacks pages channel-LAST: (T, H, W, 3) — index the
+        # trailing axis (the reference's img[:, channel] assumed tifffile's
+        # (T, C, H, W) hyperstacks and would drop the H axis here)
+        return img[..., channel]
     return None
 
 
@@ -72,7 +75,9 @@ def main(argv=None) -> int:
     result_path.mkdir(parents=True, exist_ok=True)
 
     model = Path(args.model)
-    stem = model.with_suffix("") if model.suffix else model
+    # strip only the checkpoint suffix — load_model's stem contract
+    # (models/io.py); any other dot belongs to the run name (e.g. run.1)
+    stem = model.with_suffix("") if model.suffix == ".ckpt" else model
     if not (stem.parent / f"{stem.name}.ckpt").is_file():
         raise FileNotFoundError(f"{stem}.ckpt not found!")
     if not (stem.parent / f"{stem.name}.json").is_file():

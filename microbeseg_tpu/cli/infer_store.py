@@ -73,24 +73,31 @@ def main(argv=None) -> int:
             extra_datasets = list(args.omero_ids)
         else:
             args.files = list(args.files) + list(args.omero_ids)
+    args._extra_datasets = extra_datasets
+
+    # model files checked BEFORE any credential prompt / server connection
+    # (a typo'd --model must not cost a login round-trip)
+    model = Path(args.model)
+    stem = model.with_suffix("") if model.suffix == ".ckpt" else model
+    for suffix in (".ckpt", ".json"):
+        if not (stem.parent / f"{stem.name}{suffix}").is_file():
+            raise FileNotFoundError(f"{stem}{suffix} not found!")
 
     if args.local_store:
         from microbeseg_tpu.client.store import LocalStore
         store = LocalStore(Path(args.local_store))
     else:
-        import getpass
-        import json
+        from microbeseg_tpu.client.store import omero_store_from_args
+        store = omero_store_from_args(args)
 
-        from microbeseg_tpu.client.store import OmeroStore
-        settings_path = Path.cwd() / "settings.json"
-        settings = (json.loads(settings_path.read_text())
-                    if settings_path.is_file() else {})
-        username = args.username or settings.get("omero_username") or input("OMERO username: ")
-        password = args.password or getpass.getpass(prompt="Password: ")
-        store = OmeroStore(username, password,
-                           args.host or settings.get("omero_host"),
-                           int(args.port or settings.get("omero_port", 4064)))
+    try:
+        return _run(args, store, stem)
+    finally:
+        store.close()
 
+
+def _run(args, store, stem) -> int:
+    extra_datasets = args._extra_datasets
     # Expand project -> datasets -> images (reference infer_script.py:79-108)
     image_ids = list(args.files)
     probe_ids = list(args.files)  # group probes: explicit files +
@@ -118,12 +125,11 @@ def main(argv=None) -> int:
 
     cfg = InferConfig(th_cell=args.thresholds[0], th_seed=args.thresholds[1],
                       use_tiling=args.sliding_window, quantize=args.quantize)
-    engine = InferenceEngine.from_checkpoint(Path(args.model), cfg=cfg)
-    infer_dataset(store, image_ids, engine, model_name=Path(args.model).stem,
+    engine = InferenceEngine.from_checkpoint(stem, cfg=cfg)
+    infer_dataset(store, image_ids, engine, model_name=stem.name,
                   upload=args.upload, overwrite=args.overwrite,
                   result_dir=Path(args.result_path) if args.result_path else None,
                   channel=args.channel,
                   text_output=print)
-    store.close()
     print("--- Finished ---")
     return 0

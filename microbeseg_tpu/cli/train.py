@@ -61,24 +61,19 @@ def main(argv=None) -> int:
     if args.train_dir is not None:
         trainset_path = Path(args.train_dir)
     elif args.omero_id is not None:
-        import getpass
-        import json
-
-        from microbeseg_tpu.client.store import OmeroStore
+        from microbeseg_tpu.client.store import omero_store_from_args
         from microbeseg_tpu.client.workers import export_trainset
 
-        settings_path = Path.cwd() / "settings.json"
-        settings = (json.loads(settings_path.read_text())
-                    if settings_path.is_file() else {})
-        username = args.username or settings.get("omero_username") or input("OMERO username: ")
-        password = args.password or getpass.getpass(prompt="Password: ")
-        host = args.host or settings.get("omero_host")
-        port = int(args.port or settings.get("omero_port", 4064))
-        store = OmeroStore(username, password, host, port)
+        store = omero_store_from_args(args)
         print("Downloading data (pre-labeled but not corrected data are skipped)")
-        trainset_path = export_trainset(store, args.omero_id,
-                                        Path.cwd() / "training_dataset",
-                                        text_output=print)
+        try:
+            trainset_path = export_trainset(store, args.omero_id,
+                                            Path.cwd() / "training_dataset",
+                                            text_output=print)
+        finally:
+            # label generation + training run for hours; do not hold the
+            # gateway session open past the export
+            store.close()
         if trainset_path is None:
             return 1
     else:

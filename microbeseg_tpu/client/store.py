@@ -464,6 +464,27 @@ def _reconnect_reraise(fn):
     return wrapper
 
 
+def omero_store_from_args(args) -> "OmeroStore":
+    """Connected OmeroStore from CLI args + ``./settings.json``.
+
+    One implementation of the reference's credential flow (settings file,
+    username fallback prompt, getpass — train_script.py:35-49,
+    infer_script.py:37-51) shared by every CLI."""
+    import getpass
+
+    settings_path = Path.cwd() / "settings.json"
+    settings = (json.loads(settings_path.read_text())
+                if settings_path.is_file() else {})
+    username = (getattr(args, "username", None)
+                or settings.get("omero_username")
+                or input("OMERO username: "))
+    password = (getattr(args, "password", None)
+                or getpass.getpass(prompt="Password: "))
+    host = getattr(args, "host", None) or settings.get("omero_host")
+    port = int(getattr(args, "port", None) or settings.get("omero_port", 4064))
+    return OmeroStore(username, password, host, port)
+
+
 class OmeroStore(ImageStore):
     """BlitzGateway-backed store (requires omero-py; import-gated).
 

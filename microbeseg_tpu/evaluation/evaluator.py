@@ -166,8 +166,10 @@ class Evaluator:
                     imwrite(out_dir / f"mask{file_id}.tif",
                             mask.astype(np.uint16))
                     if self.cfg.save_raw_pred:
+                        # channel-first (3, H, W) float stack: a trailing
+                        # size-3 float axis is not a writable RGB image
                         imwrite(out_dir / f"raw{file_id}.tif",
-                                probs.astype(np.float32))
+                                np.moveaxis(probs, -1, 0).astype(np.float32))
 
     # ------------------------------------------------------------------
 

@@ -171,10 +171,17 @@ def flood_pallas(value: jnp.ndarray, markers: jnp.ndarray,
     return out[0] if squeeze else out
 
 
-def flood_or_fallback(value, markers, mask, n_levels: int = 128):
-    """Pallas flood for VMEM-sized images, XLA flood otherwise."""
+def flood_or_fallback(value, markers, mask, n_levels: int = 128,
+                      max_label: int = 4095):
+    """Pallas flood for VMEM-sized images, XLA flood otherwise.
+
+    ``max_label``: static upper bound on marker ids.  The packed key
+    carries labels in the low 12 bits (key = level << 12 | label), so ids
+    >= 4096 would overflow into the level bits and corrupt BOTH fields
+    silently — callers with a larger capacity (postprocessing passes its
+    seeds cap) are routed to the XLA flood instead."""
     H, W = value.shape[-2], value.shape[-1]
-    if max(H, W) <= MAX_VMEM_SIDE:
+    if max(H, W) <= MAX_VMEM_SIDE and max_label < 4096:
         return flood_pallas(value, markers, mask, n_levels=n_levels)
     from microbeseg_tpu.ops.watershed import watershed
     return watershed(value, markers, mask, n_levels=n_levels)

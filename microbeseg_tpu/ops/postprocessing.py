@@ -169,7 +169,8 @@ def distance_postprocessing(border_prediction: jnp.ndarray,
             raise ValueError(
                 f"method='pallas' supports max_seeds < 4096, got {max_seeds}"
                 " (use method='auto'/'flood')")
-        labels = flood_or_fallback(-cell, seeds, mask, n_levels=n_levels)
+        labels = flood_or_fallback(-cell, seeds, mask, n_levels=n_levels,
+                                   max_label=max_seeds)
     else:
         labels = watershed(-cell, seeds, mask, n_levels=n_levels)
     return labels.astype(jnp.uint16)

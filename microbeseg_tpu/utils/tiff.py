@@ -82,11 +82,17 @@ def imwrite(path: Union[str, Path], arr: np.ndarray) -> None:
         arr = arr.astype(np.uint8)
     path = str(path)
 
-    if arr.ndim == 2 or (arr.ndim == 3 and arr.shape[-1] == 3 and arr.dtype == np.uint8):
+    rgb = arr.shape[-1] == 3 and arr.ndim in (3, 4)
+    if rgb and arr.dtype != np.uint8:
+        # a trailing size-3 axis with a non-uint8 dtype would silently
+        # dispatch a (H, W, 3) image into the stack branch as H frames of
+        # (W, 3) — fail loudly instead
+        raise ValueError(
+            f"RGB TIFF write requires uint8, got {arr.dtype} {arr.shape}")
+    if arr.ndim == 2 or (arr.ndim == 3 and rgb):
         _frame_to_pil(arr).save(path, format="TIFF")
         return
-    if arr.ndim == 3 or (arr.ndim == 4 and arr.shape[-1] == 3
-                         and arr.dtype == np.uint8):
+    if arr.ndim == 3 or (arr.ndim == 4 and rgb):
         # grayscale stack (T,H,W) or RGB stack (T,H,W,3)
         frames = [_frame_to_pil(f) for f in arr]
         frames[0].save(path, format="TIFF", save_all=True, append_images=frames[1:])
@@ -107,6 +113,3 @@ def _frame_to_pil(frame: np.ndarray) -> Image.Image:
     return Image.fromarray(frame, mode=mode)
 
 
-def _tiff_is_stack(path: Union[str, Path]) -> bool:
-    with Image.open(str(path)) as im:
-        return getattr(im, "n_frames", 1) > 1

@@ -18,7 +18,13 @@ class DummyEngine:
 
 
 @pytest.fixture
-def patched_engine(monkeypatch):
+def patched_engine(monkeypatch, tmp_path):
+    # dummy checkpoint pair for the CLI's upfront existence check
+    # (reference infer_script.py:57-62); from_checkpoint is patched and
+    # never reads them
+    (tmp_path / "m01.ckpt").touch()
+    (tmp_path / "m01.json").touch()
+    monkeypatch.chdir(tmp_path)
     monkeypatch.setattr(infer_store.InferenceEngine, "from_checkpoint",
                         classmethod(lambda cls, path, cfg=None: DummyEngine()))
 
@@ -134,3 +140,33 @@ class TestInferStoreCLI:
             infer_store.main([
                 "--local_store", str(tmp_path / "st"),
                 "--omero_ids", "3", "--model", "m01"])
+
+
+class TestDispatchShape:
+    def test_4d_rgb_stack_is_channel_last(self):
+        """imread stacks multi-frame RGB pages channel-LAST (T,H,W,3);
+        the reference's img[:, channel] assumed (T,C,H,W) hyperstacks and
+        silently dropped the H axis."""
+        from microbeseg_tpu.cli.infer_local import dispatch_shape
+
+        img = np.zeros((5, 32, 48, 3), np.uint16)
+        out = dispatch_shape(img, channel=1)
+        assert out.shape == (5, 32, 48)
+
+    def test_3d_variants(self):
+        from microbeseg_tpu.cli.infer_local import dispatch_shape
+
+        assert dispatch_shape(np.zeros((32, 48)), 0).shape == (1, 32, 48)
+        assert dispatch_shape(np.zeros((32, 48, 3)), 2).shape == (1, 32, 48)
+        assert dispatch_shape(np.zeros((3, 32, 48)), 1).shape == (1, 32, 48)
+        assert dispatch_shape(np.zeros((5, 32, 48)), 0).shape == (5, 32, 48)
+
+
+class TestImwriteRgbGuard:
+    def test_non_uint8_rgb_raises(self, tmp_path):
+        """A float (H,W,3) array must not silently dispatch into the
+        grayscale-stack branch as H frames of (W,3)."""
+        from microbeseg_tpu.utils.tiff import imwrite
+
+        with pytest.raises(ValueError, match="RGB"):
+            imwrite(tmp_path / "x.tif", np.zeros((16, 16, 3), np.float32))
