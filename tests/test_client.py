@@ -289,6 +289,30 @@ class TestOmeroStoreSpecific:
         assert server.connects == 2
         np.testing.assert_array_equal(store.get_plane(iid, 0, 0, 1), stack[1])
 
+    def test_group_survives_reconnect(self, rng):
+        """set_group's scope must be re-applied by _connect: a transient
+        gateway error used to silently reset browsing to all groups."""
+        store, server = self._store()
+        store.set_group(5)
+        assert store._conn.group_set[-1] == "5"
+        server.kill_connections()
+        store.list_groups()  # read: raises -> reconnect -> retried
+        assert server.connects == 2
+        assert store._conn.group_set[-1] == "5"
+
+    def test_mutators_heal_but_do_not_retry(self, rng):
+        """Non-idempotent mutators re-raise after reconnecting: a blind
+        retry after a mid-call drop would duplicate server-side state."""
+        store, server = self._store()
+        did = store.create_dataset("d")
+        server.kill_connections()
+        with pytest.raises(Exception):
+            store.upload_image(did, "x.tif", np.zeros((4, 4), np.uint16))
+        assert server.connects == 2  # connection healed...
+        iid = store.upload_image(did, "x.tif", np.zeros((4, 4), np.uint16))
+        # ...and exactly ONE image exists (no hidden duplicate upload)
+        assert [r.image_id for r in store.list_images(did)] == [iid]
+
     def test_group_consistency_data(self, rng):
         store, server = self._store()
         did = store.create_dataset("d")
