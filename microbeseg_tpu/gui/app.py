@@ -193,7 +193,13 @@ class MicrobeSegMainWindow(QMainWindow):
         self.method_combo.addItems(["distance", "boundary"])
         layout.addWidget(self.method_combo, set_row + 1, 4)
         self.device_label = QLabel(self._device_info())
-        layout.addWidget(self.device_label, set_row + 1, 0, 1, 4)
+        layout.addWidget(self.device_label, set_row + 1, 0, 1, 3)
+        # training-only multi-device toggle (reference 'use multiple gpus'
+        # checkbox, README.md:53 / get_num_gpus gui:1232-1242; here: shard
+        # the train step over every visible TPU device)
+        self.multi_device_checkbox = QCheckBox("Use all devices")
+        self.multi_device_checkbox.setChecked(True)
+        layout.addWidget(self.multi_device_checkbox, set_row + 1, 3)
 
         # pre-labeling + crop split override (reference gui:274-288)
         self.prelabel_checkbox = QCheckBox("Pre-labeling")
@@ -704,6 +710,9 @@ class MicrobeSegMainWindow(QMainWindow):
         optimizer = self.optimizer_combo.currentText()
         iterations = int(self.iterations_box.value())
         batch_size = int(self.batch_size_box.value())
+        # reference: multi-GPU is a training-only toggle (README.md:53);
+        # unchecked = single device, like the reference's num_gpus=1
+        num_devices = None if self.multi_device_checkbox.isChecked() else 1
 
         def pipeline(text_output, progress, should_stop):
             if not create_labels(path_data, method,
@@ -712,6 +721,7 @@ class MicrobeSegMainWindow(QMainWindow):
                 return False
             return run_training(path_data, models, method, iterations,
                                 optimizer, batch_size,
+                                num_devices=num_devices,
                                 text_output=text_output,
                                 progress=progress, should_stop=should_stop)
 

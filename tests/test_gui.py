@@ -282,6 +282,25 @@ class TestGuiSmoke:
         assert win.batch_size_box.value() == 4
         assert win.device_label.text().startswith("Device:")
 
+    def test_multi_device_checkbox_reaches_run_training(
+            self, gui_app, tmp_path, rng, monkeypatch):
+        """'Use all devices' (reference 'use multiple gpus', README.md:53:
+        training-only) -> run_training num_devices: None = whole mesh,
+        unchecked = 1 device like the reference's num_gpus=1."""
+        import microbeseg_tpu.training.workers as tw
+
+        win, store, eid, tid = _window(gui_app, tmp_path, rng)
+        calls = []
+        monkeypatch.setattr(tw, "create_labels", lambda *a, **k: True)
+        monkeypatch.setattr(tw, "run_training",
+                            lambda *a, **k: calls.append(k) or True)
+        assert win.multi_device_checkbox.isChecked()
+        win.on_train()
+        win.multi_device_checkbox.setChecked(False)
+        win.on_train()
+        assert calls[0]["num_devices"] is None
+        assert calls[1]["num_devices"] == 1
+
     def test_change_group(self, gui_app, tmp_path, rng):
         """Group browsing + selection against the fake gateway (reference
         'Change group', gui:1309-1352): groups list sorted by name, the
