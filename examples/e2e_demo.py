@@ -115,6 +115,11 @@ def main():
                         choices=("bn", "gn", "in"),
                         help="'bn' is the reference default "
                              "(src/training/train.py:187)")
+    parser.add_argument("--th_seeds", type=float, nargs="+", default=None,
+                        help="override the evaluation seed-threshold grid "
+                             "(reference default 0.35 0.45; rod chains "
+                             "separate best at 0.55-0.75, see "
+                             "docs/E2E_RESULTS.md)")
     parser.add_argument("--out", default=None,
                         help="output dir (default: repo/_e2e_out)")
     args = parser.parse_args()
@@ -166,7 +171,9 @@ def main():
           flush=True)
 
     # 4. evaluate (AJI+ threshold grid)
-    ev = Evaluator(EvalConfig(), text_output=print)
+    ecfg = (EvalConfig(th_seeds=tuple(args.th_seeds)) if args.th_seeds
+            else EvalConfig())
+    ev = Evaluator(ecfg, text_output=print)
     df = ev.evaluate(data_dir, out / "evaluation" / "trainset",
                      [models_dir / run_name])
     print(df.to_string(index=False), flush=True)

@@ -9,6 +9,7 @@ checkpoints.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 from pathlib import Path
 
 from microbeseg_tpu.config import EvalConfig
@@ -25,6 +26,17 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Results directory")
     parser.add_argument("--save_raw", default=False, action="store_true",
                         help="Save raw CNN outputs")
+    parser.add_argument("--th_cells", type=float, nargs="+", default=None,
+                        help="Mask-threshold grid (default: the reference's "
+                             "0.05 0.075 0.10 0.125, eval.py:128)")
+    parser.add_argument("--th_seeds", type=float, nargs="+", default=None,
+                        help="Seed-threshold grid (default: the reference's "
+                             "0.35 0.45).  Touching high-aspect rod chains "
+                             "separate at HIGHER seed thresholds than the "
+                             "reference grid covers — 0.55-0.75 lifts rod "
+                             "AJI+ by ~0.10 (docs/E2E_RESULTS.md); the best "
+                             "grid point propagates into the inference "
+                             "defaults via the aggregated eval csv")
     return parser
 
 
@@ -35,6 +47,10 @@ def main(argv=None) -> int:
                     else Path.cwd() / "evaluation" / path_data.name)
     path_results.mkdir(parents=True, exist_ok=True)
     cfg = EvalConfig(save_raw_pred=args.save_raw)
+    if args.th_cells:
+        cfg = dataclasses.replace(cfg, th_cells=tuple(args.th_cells))
+    if args.th_seeds:
+        cfg = dataclasses.replace(cfg, th_seeds=tuple(args.th_seeds))
     ev = Evaluator(cfg, text_output=print)
     df = ev.evaluate(path_data, path_results,
                      [Path(m) for m in args.models])

@@ -170,3 +170,41 @@ class TestImwriteRgbGuard:
 
         with pytest.raises(ValueError, match="RGB"):
             imwrite(tmp_path / "x.tif", np.zeros((16, 16, 3), np.float32))
+
+
+class TestEvaluateCLI:
+    """Threshold-grid flags on the headless eval CLI (the grid is the
+    quality lever for rod/chain morphology, docs/E2E_RESULTS.md)."""
+
+    def _run(self, monkeypatch, tmp_path, extra):
+        import pandas as pd
+
+        from microbeseg_tpu.cli import evaluate as eval_cli
+
+        captured = {}
+
+        class FakeEvaluator:
+            def __init__(self, cfg, text_output=print):
+                captured["cfg"] = cfg
+
+            def evaluate(self, data, results, models):
+                captured["models"] = models
+                return pd.DataFrame({"model": [str(m) for m in models]})
+
+        monkeypatch.setattr(eval_cli, "Evaluator", FakeEvaluator)
+        rc = eval_cli.main(["--data", str(tmp_path), "--models", "m1",
+                            "--results", str(tmp_path / "r")] + extra)
+        assert rc == 0
+        return captured["cfg"]
+
+    def test_default_grid_is_reference(self, monkeypatch, tmp_path):
+        cfg = self._run(monkeypatch, tmp_path, [])
+        assert cfg.th_cells == (0.05, 0.075, 0.10, 0.125)  # eval.py:128
+        assert cfg.th_seeds == (0.35, 0.45)
+
+    def test_grid_flags_override(self, monkeypatch, tmp_path):
+        cfg = self._run(monkeypatch, tmp_path,
+                        ["--th_seeds", "0.45", "0.65", "0.75",
+                         "--th_cells", "0.1"])
+        assert cfg.th_seeds == (0.45, 0.65, 0.75)
+        assert cfg.th_cells == (0.1,)
