@@ -13,6 +13,7 @@ is an ImageStore (LocalStore directory or OMERO when omero-py is present).
 
 from __future__ import annotations
 
+import dataclasses
 import sys
 import threading
 from pathlib import Path
@@ -291,6 +292,17 @@ class MicrobeSegMainWindow(QMainWindow):
         self.scale_box.setToolTip("Inference scale factor (downscale "
                                   "before the forward pass)")
         layout.addWidget(self.scale_box, 3, 7)
+
+        # extended evaluation seed grid: touching rod chains separate at
+        # higher th_seed than the reference grid's 0.45 cap (eval.py:128)
+        # covers — measured +0.10 AJI+ on rod/chain morphology
+        # (docs/E2E_RESULTS.md "Rod gap root-caused"); the best grid point
+        # then prefills the inference thresholds via the aggregated csv
+        self.eval_grid_checkbox = QCheckBox("Extended seed grid (rods)")
+        self.eval_grid_checkbox.setToolTip(
+            "Evaluate th_seed up to 0.75 (reference grid stops at 0.45); "
+            "recommended for rod-shaped cells in touching chains")
+        layout.addWidget(self.eval_grid_checkbox, conn_row + 2, 0, 1, 3)
 
         # per-model evaluation multi-select (reference eval model list,
         # gui:1039-1121)
@@ -732,8 +744,13 @@ class MicrobeSegMainWindow(QMainWindow):
         job, like the reference's eval button wiring (gui:1062-1092 starts
         the eval thread from export_thread.finished)."""
         from microbeseg_tpu.client.workers import export_trainset
+        from microbeseg_tpu.config import EvalConfig
         from microbeseg_tpu.evaluation.evaluator import Evaluator
 
+        ecfg = EvalConfig()
+        if self.eval_grid_checkbox.isChecked():
+            ecfg = dataclasses.replace(
+                ecfg, th_seeds=(0.35, 0.45, 0.55, 0.65, 0.75))
         trainset = self.store.dataset_name(int(self.trainset_box.value()))
         if self.eval_scope_combo.currentText() == "selected models":
             selected = {it.text()
@@ -756,7 +773,7 @@ class MicrobeSegMainWindow(QMainWindow):
                             should_stop=should_stop)
             if should_stop():
                 return None
-            ev = Evaluator(text_output=text_output, progress=progress,
+            ev = Evaluator(cfg=ecfg, text_output=text_output, progress=progress,
                            should_stop=should_stop)
             return ev.evaluate(self.training_data_path / trainset,
                                self.eval_results_path / trainset, models)

@@ -411,6 +411,36 @@ class TestGuiSmoke:
         win.buttons["Evaluate"].click()
         assert exported_at_eval == [4]  # all 4 imported crops on disk
 
+    def test_extended_seed_grid_checkbox(self, gui_app, tmp_path, rng,
+                                         monkeypatch):
+        """The 'Extended seed grid (rods)' checkbox widens EvalConfig's
+        th_seeds (rod chains separate above the reference grid's 0.45 cap,
+        docs/E2E_RESULTS.md); unchecked stays the reference grid."""
+        win, store, eid, tid = _window(gui_app, tmp_path, rng)
+        models = tmp_path / "models" / "trainset64"
+        models.mkdir(parents=True)
+        (models / "distance_model_01.ckpt").write_bytes(b"x")
+        win.refresh_model_list()
+
+        cfgs = []
+
+        from microbeseg_tpu.evaluation import evaluator as ev_mod
+
+        class FakeEvaluator:
+            def __init__(self, **kw):
+                cfgs.append(kw["cfg"])
+
+            def evaluate(self, data_dir, results_dir, models):
+                return None
+
+        monkeypatch.setattr(ev_mod, "Evaluator", FakeEvaluator)
+        win.buttons["Evaluate"].click()
+        win.eval_grid_checkbox.setChecked(True)
+        win.buttons["Evaluate"].click()
+        assert cfgs[0].th_seeds == (0.35, 0.45)  # reference eval.py:128
+        assert cfgs[1].th_seeds == (0.35, 0.45, 0.55, 0.65, 0.75)
+        assert cfgs[1].th_cells == cfgs[0].th_cells
+
     def test_inference_settings_reach_engine_and_worker(
             self, gui_app, tmp_path, rng, monkeypatch):
         """th_cell/th_seed, sliding window, CLAHE, scale and upload widgets
