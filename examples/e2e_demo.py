@@ -25,7 +25,8 @@ from microbeseg_tpu.training.workers import create_labels
 from microbeseg_tpu.utils.tiff import imwrite
 
 
-def synth_sample(rng, size=128, n_blobs=10, shape="ellipse"):
+def synth_sample(rng, size=128, n_blobs=10, shape="ellipse", illum=0.0,
+                 noise=1.0):
     """Synthetic microscopy-like crop: bright cells + noise.
 
     ``shape='ellipse'`` places axis-aligned ellipses (round cocci-like
@@ -33,7 +34,13 @@ def synth_sample(rng, size=128, n_blobs=10, shape="ellipse"):
     continue into touching end-to-end chains — the morphology of the
     rod-shaped bacteria (E. coli / B. subtilis) the reference targets,
     and the hard case for neighbor-distance separation of touching cells
-    (reference train_data_representations.py:300-330)."""
+    (reference train_data_representations.py:300-330); ``shape='mixed'``
+    draws each cell group as rods or ellipses at random (mixed cultures).
+
+    ``illum`` adds uneven illumination: a random linear-gradient + center
+    vignette field multiplies the frame down to ``1 - illum`` of full
+    brightness (microscopy shading).  ``noise`` scales the additive
+    gaussian read noise (SNR stress)."""
     yy, xx = np.mgrid[0:size, 0:size]
     mask = np.zeros((size, size), np.uint16)
     img = rng.normal(6000, 300, (size, size))
@@ -55,8 +62,11 @@ def synth_sample(rng, size=128, n_blobs=10, shape="ellipse"):
         d = np.hypot(yy - cy - t * uy, xx - cx - t * ux) / r
         return d
 
-    if shape == "rods":
-        for _ in range(n_blobs):
+    for _group in range(n_blobs):
+        kind = shape
+        if shape == "mixed":
+            kind = "rods" if rng.random() < 0.5 else "ellipse"
+        if kind == "rods":
             r = rng.integers(3, 6)
             half = rng.integers(6, 16)  # centerline half-length
             theta = rng.uniform(0, np.pi)
@@ -77,14 +87,22 @@ def synth_sample(rng, size=128, n_blobs=10, shape="ellipse"):
                 if not (lim_y <= cy < size - lim_y and
                         lim_y <= cx < size - lim_y):
                     break
-    else:
-        for _ in range(n_blobs):
+        else:
             ry, rx = rng.integers(6, 14, 2)
             cy = rng.integers(ry + 2, size - ry - 2)
             cx = rng.integers(rx + 2, size - rx - 2)
             d = np.sqrt(((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2)
             place(d, d <= 1)
-    img = img + rng.normal(0, 400, img.shape)
+    if illum > 0:
+        # random linear gradient + center vignette, scaled into [1-illum, 1]
+        gy, gx = rng.uniform(-1, 1, 2)
+        field = gy * (yy / size - 0.5) + gx * (xx / size - 0.5)
+        field = field - rng.uniform(0.5, 1.5) * (
+            ((yy / size - 0.5) ** 2 + (xx / size - 0.5) ** 2))
+        lo, hi = field.min(), field.max()
+        field = (field - lo) / max(hi - lo, 1e-9)          # [0, 1]
+        img = img * (1.0 - illum + illum * field)
+    img = img + rng.normal(0, 400 * noise, img.shape)
     # trainset crops are full-range uint16 (the reference's export
     # renormalizes with stored min/max, data_export.py:99-101; training then
     # normalizes by 0..65535 while inference normalizes per frame)
@@ -108,9 +126,17 @@ def main():
                         help="label/method family (boundary = the 3-class "
                              "baseline, reference train.py)")
     parser.add_argument("--shape", default="ellipse",
-                        choices=("ellipse", "rods"),
+                        choices=("ellipse", "rods", "mixed"),
                         help="synthetic cell morphology: round cocci-like "
-                             "ellipses or rotated rod/chain capsules")
+                             "ellipses, rotated rod/chain capsules, or a "
+                             "per-group random mix (mixed cultures)")
+    parser.add_argument("--illum", type=float, default=0.0,
+                        help="uneven-illumination stress: random gradient+"
+                             "vignette field dimming the frame down to "
+                             "(1-illum) of full brightness (try 0.6)")
+    parser.add_argument("--noise", type=float, default=1.0,
+                        help="read-noise multiplier (SNR stress; 1.0 = the "
+                             "standard sigma-400 corpus)")
     parser.add_argument("--normalization", default="gn",
                         choices=("bn", "gn", "in"),
                         help="'bn' is the reference default "
@@ -140,7 +166,8 @@ def main():
         (data_dir / split).mkdir(parents=True)
         for i in range(n):
             img, mask = synth_sample(rng, size=cs, n_blobs=n_blobs,
-                                     shape=args.shape)
+                                     shape=args.shape, illum=args.illum,
+                                     noise=args.noise)
             imwrite(data_dir / split / f"img_{split}{i:02d}.tif", img)
             imwrite(data_dir / split / f"mask_{split}{i:02d}.tif", mask)
     print("trainset written", flush=True)
@@ -180,7 +207,8 @@ def main():
 
     # 5. 2D+t stack inference with tiling
     stack = np.stack([synth_sample(rng, size=400, n_blobs=60,
-                                   shape=args.shape)[0]
+                                   shape=args.shape, illum=args.illum,
+                                   noise=args.noise)[0]
                       for _ in range(4)])
     engine = InferenceEngine.from_checkpoint(
         models_dir / run_name,

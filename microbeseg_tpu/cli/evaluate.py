@@ -37,6 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "AJI+ by ~0.10 (docs/E2E_RESULTS.md); the best "
                              "grid point propagates into the inference "
                              "defaults via the aggregated eval csv")
+    parser.add_argument("--refine", type=int, default=0, metavar="N",
+                        help="coarse-to-fine threshold search: after the "
+                             "grid, evaluate halved-spacing neighbors of "
+                             "the best point for N rounds (beyond "
+                             "reference; default 0 = grid only)")
     return parser
 
 
@@ -51,6 +56,8 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(cfg, th_cells=tuple(args.th_cells))
     if args.th_seeds:
         cfg = dataclasses.replace(cfg, th_seeds=tuple(args.th_seeds))
+    if args.refine:
+        cfg = dataclasses.replace(cfg, refine_steps=args.refine)
     ev = Evaluator(cfg, text_output=print)
     df = ev.evaluate(path_data, path_results,
                      [Path(m) for m in args.models])

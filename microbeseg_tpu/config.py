@@ -147,6 +147,10 @@ class EvalConfig:
     batch_size: int = 8
     save_raw_pred: bool = False
     border_width: int = 10            # border correction inset (reference: utils.py:25)
+    # coarse-to-fine threshold search (beyond reference): after the coarse
+    # grid, evaluate halved-spacing neighbors around the running best for
+    # this many rounds (0 = reference behavior, grid only)
+    refine_steps: int = 0
 
 
 def get_max_epochs(n_samples: int, crop_size: int) -> int:

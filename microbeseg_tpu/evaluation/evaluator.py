@@ -37,6 +37,34 @@ def _noop(*a, **k):
     pass
 
 
+def _grid_spacing(values) -> float:
+    """Smallest spacing of a threshold axis (refinement starts at half it)."""
+    vs = sorted(set(values))
+    if len(vs) < 2:
+        return 0.05
+    return min(b - a for a, b in zip(vs, vs[1:]))
+
+
+def refine_candidates(best, d_cell: float, d_seed: float, seen):
+    """3x3 neighborhood of ``best`` at (d_cell, d_seed) spacing, minus
+    already-evaluated points and out-of-range thresholds.
+
+    Pure helper for the coarse-to-fine threshold search; rounding to 4
+    decimals keeps directory names (``{th_cell}_{th_seed}``) canonical."""
+    bc, bs = best
+    cands = []
+    for i in (-1, 0, 1):
+        for j in (-1, 0, 1):
+            tc = round(bc + i * d_cell, 4)
+            ts = round(bs + j * d_seed, 4)
+            if not (0.005 <= tc <= 0.995 and 0.005 <= ts <= 0.995):
+                continue
+            if (tc, ts) in seen:
+                continue
+            cands.append((tc, ts))
+    return cands
+
+
 class Evaluator:
     def __init__(self, cfg: Optional[EvalConfig] = None,
                  text_output: Callable[[str], None] = _noop,
@@ -92,6 +120,8 @@ class Evaluator:
                 ths = [-1]
 
             self._inference(engine, path_data / "test", ths, out_dir)
+            if label_type == "distance" and self.cfg.refine_steps > 0:
+                self._refine(engine, path_data / "test", out_dir, ths)
             result = self._calc_scores(out_dir, path_data / "test", label_type)
             if result is None:
                 return None
@@ -120,6 +150,50 @@ class Evaluator:
         return df
 
     # ------------------------------------------------------------------
+
+    def _refine(self, engine: InferenceEngine, test_dir: Path,
+                out_dir: Path, ths) -> None:
+        """Coarse-to-fine threshold search (beyond reference, opt-in via
+        ``EvalConfig.refine_steps``): evaluate the 3x3 neighborhood of the
+        running best at half the previous spacing, for ``refine_steps``
+        rounds.  The refined directories join the grid directories, so
+        ``_calc_scores``'s best-threshold selection and artifact contract
+        are unchanged."""
+        d_cell = _grid_spacing(self.cfg.th_cells) / 2
+        d_seed = _grid_spacing(self.cfg.th_seeds) / 2
+        # exact tuples: keys must reproduce _inference's directory names
+        # (f"{th_cell}_{th_seed}"), so no rounding on the coarse grid
+        seen = {(tc, ts) for tc, ts in ths}
+        means = {}
+
+        def ensure_scored(th_list) -> bool:
+            for th in th_list:
+                if th in means:
+                    continue
+                res = self._score_dir(out_dir / f"{th[0]}_{th[1]}", test_dir)
+                if res is None:
+                    return False
+                means[th] = float(np.mean(res[1])) if res[1] else 0.0
+            return True
+
+        if not ensure_scored(sorted(seen)):
+            return
+        for step in range(self.cfg.refine_steps):
+            if self.should_stop():
+                return
+            best = max(means, key=means.get)
+            cands = refine_candidates(best, d_cell, d_seed, seen)
+            if cands:
+                self.text_output(
+                    f"Refine round {step + 1}: best th {best} "
+                    f"(AJI+ {means[best]:.4f}), testing {len(cands)} "
+                    f"neighbors at spacing ({d_cell:.4g}, {d_seed:.4g})")
+                self._inference(engine, test_dir, cands, out_dir)
+                seen |= set(cands)
+                if not ensure_scored(cands):
+                    return
+            d_cell /= 2
+            d_seed /= 2
 
     def _inference(self, engine: InferenceEngine, test_dir: Path,
                    ths, out_dir: Path) -> None:

@@ -302,6 +302,39 @@ class TestEvaluatorArtifacts:
         assert row["th_cell"] in (0.05, 0.10)
         assert len(row["test set version"]) == 10
 
+        # coarse-to-fine refinement: neighbors of the best grid point are
+        # evaluated and join the best-threshold selection; the artifact
+        # contract (dirs collapsed, best at top level) is unchanged
+        results2 = tmp_path / "eval_refined" / "trainset"
+        results2.mkdir(parents=True)
+        logs = []
+        ev = Evaluator(EvalConfig(th_cells=(0.05, 0.10), th_seeds=(0.45,),
+                                  refine_steps=1),
+                       text_output=lambda s: logs.append(str(s)))
+        df2 = ev.evaluate(data, results2,
+                          [models_dir / "distance_model_01"])
+        assert df2 is not None and len(df2) == 1
+        assert any("Refine round 1" in s for s in logs)
+        out_dir2 = results2 / "trainset_distance_model_01"
+        assert not any(p.is_dir() for p in out_dir2.iterdir())
+        # refined best is at least as good as the coarse best
+        assert df2.iloc[0]["aji+ (mean)"] >= row["aji+ (mean)"] - 1e-9
+
+    def test_refine_candidates(self):
+        from microbeseg_tpu.evaluation.evaluator import (_grid_spacing,
+                                                         refine_candidates)
+
+        assert abs(_grid_spacing((0.05, 0.075, 0.10, 0.125)) - 0.025) < 1e-9
+        assert _grid_spacing((0.45,)) == 0.05
+        cands = refine_candidates((0.10, 0.45), 0.0125, 0.05,
+                                  seen={(0.10, 0.45)})
+        assert (0.10, 0.45) not in cands
+        assert (0.1125, 0.5) in cands and (0.0875, 0.4) in cands
+        assert len(cands) == 8
+        # range clamping: candidates below 0.005 are dropped
+        low = refine_candidates((0.01, 0.45), 0.0125, 0.05, seen=set())
+        assert all(tc >= 0.005 for tc, _ in low)
+
 
 class TestShardedEngine:
     def test_mesh_sharded_forward(self, rng):
