@@ -86,7 +86,9 @@ class Norm(nn.Module):
                 axis_name=self.axis_name,
             )(x)
         if self.kind == "gn":
-            return nn.GroupNorm(num_groups=8, dtype=self.dtype,
+            # epsilon 1e-5 = torch GroupNorm default (the reference's
+            # runtime, unets.py:129-130); flax defaults to 1e-6
+            return nn.GroupNorm(num_groups=8, epsilon=1e-5, dtype=self.dtype,
                                 param_dtype=jnp.float32)(x)
         if self.kind == "none":
             # not a reference option — perf-diagnostic knob (see _ACTS)
@@ -96,7 +98,7 @@ class Norm(nn.Module):
             # params (torch InstanceNorm2d default: affine=False).
             return nn.GroupNorm(num_groups=None, group_size=1,
                                 use_bias=False, use_scale=False,
-                                dtype=self.dtype)(x)
+                                epsilon=1e-5, dtype=self.dtype)(x)
         raise ValueError(f"Unsupported normalization: {self.kind}")
 
 
