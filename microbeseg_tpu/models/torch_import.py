@@ -177,6 +177,73 @@ def convert_state_dict(state_dict: Dict[str, Any],
     return variables
 
 
+def export_state_dict(variables: Dict[str, Any],
+                      cfg: ModelConfig) -> Dict[str, np.ndarray]:
+    """Inverse of ``convert_state_dict``: flax variables -> a reference-
+    format torch state_dict (numpy values; pass through torch.tensor for
+    ``torch.save``).  Lets TPU-trained models run in the reference GPU tool.
+    """
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    kind = cfg.normalization
+    sd: Dict[str, np.ndarray] = {}
+
+    def conv(key, tree):
+        sd[f"{key}.weight"] = np.ascontiguousarray(
+            np.asarray(tree["kernel"], np.float32).transpose(3, 2, 0, 1))
+        sd[f"{key}.bias"] = np.asarray(tree["bias"], np.float32)
+
+    def conv_t(key, tree):
+        k = np.asarray(tree["kernel"], np.float32)[::-1, ::-1]
+        sd[f"{key}.weight"] = np.ascontiguousarray(k.transpose(2, 3, 0, 1))
+        sd[f"{key}.bias"] = np.asarray(tree["bias"], np.float32)
+
+    def norm(key, tree_p, tree_s):
+        if kind == "in":
+            return
+        inner = _NORM_INNER[kind]
+        sd[f"{key}.weight"] = np.asarray(tree_p[inner]["scale"], np.float32)
+        sd[f"{key}.bias"] = np.asarray(tree_p[inner]["bias"], np.float32)
+        if kind == "bn":
+            sd[f"{key}.running_mean"] = np.asarray(tree_s[inner]["mean"],
+                                                   np.float32)
+            sd[f"{key}.running_var"] = np.asarray(tree_s[inner]["var"],
+                                                  np.float32)
+            sd[f"{key}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    def conv_block(key, tree_p, tree_s):
+        conv(f"{key}.conv.0", tree_p["conv0"])
+        norm(f"{key}.conv.2", tree_p.get("norm0", {}),
+             (tree_s or {}).get("norm0"))
+        conv(f"{key}.conv.3", tree_p["conv1"])
+        norm(f"{key}.conv.5", tree_p.get("norm1", {}),
+             (tree_s or {}).get("norm1"))
+
+    enc_p, enc_s = params["encoder"], stats.get("encoder", {})
+    for i in range(cfg.depth):
+        conv_block(f"encoderConv.{i}", enc_p[f"enc{i}"],
+                   enc_s.get(f"enc{i}"))
+        if cfg.pool_method == "conv" and i < cfg.depth - 1:
+            conv(f"pooling.{i}.conv_pool.0", enc_p[f"pool{i}"]["conv"])
+            norm(f"pooling.{i}.conv_pool.2", enc_p[f"pool{i}"].get("norm", {}),
+                 enc_s.get(f"pool{i}", {}).get("norm"))
+
+    heads = ([("decoder", "decoderUpconv", "decoderConv")]
+             if cfg.unet_type == "U" else
+             [("decoder1", "decoder1Upconv", "decoder1Conv"),
+              ("decoder2", "decoder2Upconv", "decoder2Conv")])
+    for ours, up_t, conv_key in heads:
+        dec_p, dec_s = params[ours], stats.get(ours, {})
+        for i in range(cfg.depth - 1):
+            conv_t(f"{up_t}.{i}.up.0", dec_p[f"up{i}"]["up"])
+            norm(f"{up_t}.{i}.norm", dec_p[f"up{i}"].get("norm", {}),
+                 dec_s.get(f"up{i}", {}).get("norm"))
+            conv_block(f"{conv_key}.{i}", dec_p[f"dec{i}"],
+                       dec_s.get(f"dec{i}"))
+        conv(f"{conv_key}.{cfg.depth - 1}", dec_p["out"])
+    return sd
+
+
 def import_torch_checkpoint(pth_path: Path, out_dir: Path,
                             json_path: Optional[Path] = None,
                             label_type: Optional[str] = None) -> Path:
@@ -223,3 +290,30 @@ def import_torch_checkpoint(pth_path: Path, out_dir: Path,
                       run_name=pth_path.stem)
     return save_model(variables, cfg, Path(out_dir),
                       extra={"imported_from": str(pth_path)})
+
+
+def export_torch_checkpoint(ckpt_path: Path, out_dir: Path) -> Path:
+    """Convert one of our ``.ckpt`` + sidecar pairs into a reference
+    ``.pth`` + ``.json`` pair under ``out_dir`` (same stem), so TPU-trained
+    models run in the reference GPU tool.  Requires torch.  Returns the
+    .pth path."""
+    import json
+
+    import torch
+
+    from microbeseg_tpu.config import read_sidecar
+    from microbeseg_tpu.models.io import load_model
+
+    ckpt_path = Path(ckpt_path)
+    _, variables, cfg = load_model(ckpt_path)
+    sd = {k: torch.tensor(v)
+          for k, v in export_state_dict(variables, cfg.model).items()}
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    stem = ckpt_path.stem if ckpt_path.suffix == ".ckpt" else ckpt_path.name
+    pth = out_dir / f"{stem}.pth"
+    torch.save(sd, pth)
+    sidecar = read_sidecar(
+        ckpt_path.with_suffix("").parent / f"{stem}.json")
+    (out_dir / f"{stem}.json").write_text(json.dumps(sidecar, indent=2))
+    return pth

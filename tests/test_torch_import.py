@@ -260,3 +260,68 @@ class TestTorchImport:
             variables["params"]["encoder"]["enc0"]["conv0"]["kernel"])
         ref = tm.state_dict()["encoderConv.0.conv.0.weight"].numpy()
         np.testing.assert_allclose(w, ref.transpose(2, 3, 1, 0), atol=0)
+
+
+class TestTorchExport:
+    @pytest.mark.parametrize("kind", ["bn", "gn"])
+    def test_roundtrip_exact(self, kind):
+        """export(convert(sd)) reproduces the torch state_dict bit-exactly
+        (and a torch model loads it and agrees with the flax forward)."""
+        import jax.numpy as jnp
+
+        from microbeseg_tpu.models.torch_import import export_state_dict
+
+        rng = np.random.default_rng(7)
+        tm = _TorchDUNet(kind=kind, filters=(8, 16))
+        _randomize(tm, rng)
+        mcfg = ModelConfig(normalization=kind, filters=(8, 16))
+        variables = convert_state_dict(tm.state_dict(), mcfg)
+        sd = export_state_dict(variables, mcfg)
+        orig = {k: v.numpy() for k, v in tm.state_dict().items()}
+        assert set(sd) == set(orig)
+        for k in orig:
+            np.testing.assert_array_equal(sd[k], orig[k], err_msg=k)
+
+        # a fresh torch model loads the exported dict and matches flax
+        tm2 = _TorchDUNet(kind=kind, filters=(8, 16))
+        tm2.load_state_dict({k: torch.tensor(v) for k, v in sd.items()})
+        tm2.eval()
+        x = rng.standard_normal((1, 1, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            ref = [r.numpy() for r in tm2(torch.tensor(x))]
+        model = build_unet(mcfg, dtype=jnp.float32)
+        out = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                          train=False)
+        for r, o in zip(ref, out):
+            np.testing.assert_allclose(
+                np.asarray(o).transpose(0, 3, 1, 2), r, atol=5e-4, rtol=1e-4)
+
+    def test_export_cli_roundtrip(self, tmp_path):
+        """.ckpt -> .pth pair; re-import reproduces the checkpoint."""
+        import jax
+
+        from microbeseg_tpu.config import TrainConfig
+        from microbeseg_tpu.models.io import load_model, save_model
+        from microbeseg_tpu.models.torch_import import (
+            export_torch_checkpoint, import_torch_checkpoint)
+
+        mcfg = ModelConfig(normalization="gn", act_fun="mish",
+                           filters=(8, 16))
+        model = build_unet(mcfg)
+        variables = model.init(jax.random.PRNGKey(1),
+                               np.zeros((1, 32, 32, 1), np.float32),
+                               train=False)
+        cfg = TrainConfig(model=mcfg, run_name="distance_model_01")
+        save_model(dict(variables), cfg, tmp_path / "models")
+
+        pth = export_torch_checkpoint(
+            tmp_path / "models" / "distance_model_01.ckpt",
+            tmp_path / "exported")
+        assert pth.exists() and pth.with_suffix(".json").exists()
+
+        ckpt2 = import_torch_checkpoint(pth, tmp_path / "reimported")
+        _, v2, cfg2 = load_model(ckpt2)
+        assert cfg2.model.filters == (8, 16)
+        a = jax.tree.leaves(jax.device_get(dict(variables)))
+        b = jax.tree.leaves(v2)
+        assert all(np.array_equal(x, y) for x, y in zip(a, b))
