@@ -146,6 +146,9 @@ def main():
                              "(reference default 0.35 0.45; rod chains "
                              "separate best at 0.55-0.75, see "
                              "docs/E2E_RESULTS.md)")
+    parser.add_argument("--tta", default=False, action="store_true",
+                        help="test-time augmentation (dihedral-averaged "
+                             "predictions) in evaluation and inference")
     parser.add_argument("--out", default=None,
                         help="output dir (default: repo/_e2e_out)")
     args = parser.parse_args()
@@ -198,8 +201,10 @@ def main():
           flush=True)
 
     # 4. evaluate (AJI+ threshold grid)
-    ecfg = (EvalConfig(th_seeds=tuple(args.th_seeds)) if args.th_seeds
-            else EvalConfig())
+    ecfg = EvalConfig(tta=args.tta)
+    if args.th_seeds:
+        import dataclasses
+        ecfg = dataclasses.replace(ecfg, th_seeds=tuple(args.th_seeds))
     ev = Evaluator(ecfg, text_output=print)
     df = ev.evaluate(data_dir, out / "evaluation" / "trainset",
                      [models_dir / run_name])
@@ -212,7 +217,8 @@ def main():
                       for _ in range(4)])
     engine = InferenceEngine.from_checkpoint(
         models_dir / run_name,
-        cfg=InferConfig(use_tiling=True, tile_size=256, tile_overlap=64))
+        cfg=InferConfig(use_tiling=True, tile_size=256, tile_overlap=64,
+                        tta=args.tta))
     t0 = time.time()
     masks = engine.segment(stack)
     n_cells = [int(len(np.unique(m)) - 1) for m in masks]

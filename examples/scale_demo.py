@@ -50,31 +50,77 @@ from microbeseg_tpu.training.workers import create_labels
 from microbeseg_tpu.utils.tiff import imwrite
 
 
-def synth_frame(rng, size, density=1.0):
+def synth_frame(rng, size, density=1.0, shape="ellipse"):
     """Synthetic microscopy frame + ground-truth instance mask.
 
     Each blob only touches its local window (the naive full-frame version is
-    O(n_blobs * size^2) — minutes per 2048^2 frame on this 1-core host)."""
+    O(n_blobs * size^2) — minutes per 2048^2 frame on this 1-core host).
+    ``shape``: 'ellipse' (round cocci), 'rods' (rotated capsules with
+    touching end-to-end chains, the hard morphology — see e2e_demo), or
+    'mixed' (per-group random)."""
     mask = np.zeros((size, size), np.uint16)
     img = rng.normal(6000, 300, (size, size))
     n_blobs = int(density * 10 * (size / 128) ** 2)
     label = 0
-    for _ in range(n_blobs):
-        ry, rx = rng.integers(6, 14, 2)
-        cy = rng.integers(ry + 2, size - ry - 2)
-        cx = rng.integers(rx + 2, size - rx - 2)
-        y0, y1 = cy - ry, cy + ry + 1
-        x0, x1 = cx - rx, cx + rx + 1
+
+    def place(cy, cx, ey, ex, field):
+        """Window-local placement: evaluate the normalized distance field
+        ``field(yy, xx)`` only inside the (2 ey + 1) x (2 ex + 1) window."""
+        nonlocal label
+        y0, y1 = cy - ey, cy + ey + 1
+        x0, x1 = cx - ex, cx + ex + 1
+        if y0 < 0 or x0 < 0 or y1 > size or x1 > size:
+            return False
         yy, xx = np.mgrid[y0:y1, x0:x1]
-        d = np.sqrt(((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2)
+        d = field(yy, xx)
         blob = d <= 1
         sub_mask = mask[y0:y1, x0:x1]
-        if (sub_mask[blob] > 0).mean() > 0.2:
-            continue
+        if not blob.any() or (sub_mask[blob] > 0).mean() > 0.2:
+            return False
         label += 1
         sub_mask[blob & (sub_mask == 0)] = label
         img[y0:y1, x0:x1] += np.where(blob,
                                       25000 * np.clip(1.2 - d, 0, 1.2), 0)
+        return True
+
+    for _ in range(n_blobs):
+        kind = shape
+        if shape == "mixed":
+            kind = "rods" if rng.random() < 0.5 else "ellipse"
+        if kind == "rods":
+            r = int(rng.integers(3, 6))
+            half = int(rng.integers(6, 16))
+            theta = rng.uniform(0, np.pi)
+            ext = half + r + 1
+            if size <= 2 * ext:
+                continue
+            cy = int(rng.integers(ext, size - ext))
+            cx = int(rng.integers(ext, size - ext))
+            links = 1 + (rng.random() < 0.5) + (rng.random() < 0.25)
+            for _ in range(links):  # touching end-to-end chain
+                uy, ux = np.cos(theta), np.sin(theta)
+
+                def capsule(yy, xx, cy=cy, cx=cx, uy=uy, ux=ux):
+                    t = np.clip((yy - cy) * uy + (xx - cx) * ux, -half, half)
+                    return np.hypot(yy - cy - t * uy, xx - cx - t * ux) / r
+
+                place(cy, cx, ext, ext, capsule)
+                theta2 = theta + rng.uniform(-0.35, 0.35)
+                step = half + r  # tip of this rod = tip of the next
+                cy += int(round(step * np.cos(theta) + step * np.cos(theta2)))
+                cx += int(round(step * np.sin(theta) + step * np.sin(theta2)))
+                theta = theta2
+                if not (ext <= cy < size - ext and ext <= cx < size - ext):
+                    break
+        else:
+            ry, rx = rng.integers(6, 14, 2)
+            cy = rng.integers(ry + 2, size - ry - 2)
+            cx = rng.integers(rx + 2, size - rx - 2)
+
+            def ellipse(yy, xx, cy=cy, cx=cx, ry=ry, rx=rx):
+                return np.sqrt(((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2)
+
+            place(int(cy), int(cx), int(ry), int(rx), ellipse)
     img = img + rng.normal(0, 400, img.shape)
     img = (img - img.min()) / (img.max() - img.min()) * 65535
     return img.astype(np.uint16), mask
@@ -106,6 +152,13 @@ def main():
                    help="encoder filter range f0,f1 (flagship: 64,1024 — "
                         "the reference default, unets.py:320-331)")
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--shape", default="ellipse",
+                   choices=("ellipse", "rods", "mixed"),
+                   help="corpus morphology (rods = touching chains, the "
+                        "hard case; see e2e_demo/E2E_RESULTS)")
+    p.add_argument("--th_seeds", type=float, nargs="+", default=None,
+                   help="evaluation seed-threshold grid override "
+                        "(recommend 0.35 0.45 0.55 0.65 0.75 for rods)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
     filters = tuple(int(f) for f in args.filters.split(","))
@@ -127,7 +180,7 @@ def main():
         for e in range(args.experiments):
             size = [1024, 1024, 1280, 2048][e % 4]
             did = store.create_dataset(f"experiment_{e:02d}", project_id=pid)
-            frames, masks = zip(*[synth_frame(rng, size)
+            frames, masks = zip(*[synth_frame(rng, size, shape=args.shape)
                                   for _ in range(args.frames)])
             iid = store.upload_image(did, f"exp{e:02d}.tif",
                                      np.stack(frames))
@@ -152,7 +205,7 @@ def main():
         src.mkdir()
         imgs, masks = [], []
         for i in range(4):
-            im, m = synth_frame(rng, 512)
+            im, m = synth_frame(rng, 512, shape=args.shape)
             imwrite(src / f"img{i}.tif", im)
             imwrite(src / f"mask{i}.tif", m)
             imgs.append(src / f"img{i}.tif")
@@ -229,7 +282,9 @@ def main():
                 unit="crop", count=8)
 
     # ---- evaluation: AJI+ threshold grid over the test split ------------
-    ev = Evaluator(EvalConfig())
+    ecfg = (EvalConfig(th_seeds=tuple(args.th_seeds))
+            if args.th_seeds else EvalConfig())
+    ev = Evaluator(ecfg)
     df = clock.stage("eval", lambda: ev.evaluate(
         data_dir, out / "evaluation" / "trainset256",
         [models_dir / run_name]))
@@ -261,6 +316,9 @@ def main():
 
     summary = {
         "experiments": args.experiments, "frames": args.frames,
+        "shape": args.shape, "filters": list(filters),
+        "batch_size": args.batch_size, "epochs": args.epochs,
+        "th_seeds": args.th_seeds,
         "sizes": sizes, "total_megapixels": round(n_px / 1e6, 1),
         "crops_annotated": n_acc, "best_val_loss": float(best),
         "aji_mean_testset": float(df.iloc[0]["aji+ (mean)"]),

@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "grid, evaluate halved-spacing neighbors of "
                              "the best point for N rounds (beyond "
                              "reference; default 0 = grid only)")
+    parser.add_argument("--tta", default=False, action="store_true",
+                        help="Test-time augmentation: average predictions "
+                             "over the dihedral transforms (beyond "
+                             "reference; 4-8x forward cost)")
     return parser
 
 
@@ -58,6 +62,8 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(cfg, th_seeds=tuple(args.th_seeds))
     if args.refine:
         cfg = dataclasses.replace(cfg, refine_steps=args.refine)
+    if args.tta:
+        cfg = dataclasses.replace(cfg, tta=True)
     ev = Evaluator(cfg, text_output=print)
     df = ev.evaluate(path_data, path_results,
                      [Path(m) for m in args.models])

@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="int8 forward on the large-spatial conv layers "
                         "(TPU MXU double-rate path; beyond-reference serving "
                         "mode, same checkpoints)")
+    parser.add_argument("--tta", default=False, action="store_true",
+                        help="Test-time augmentation: average predictions "
+                        "over the dihedral transforms (beyond reference; "
+                        "4-8x forward cost)")
     parser.add_argument("--overwrite", "-o", default=False,
                         action="store_true", help="Overwrite existing results")
     return parser
@@ -88,7 +92,7 @@ def main(argv=None) -> int:
     cfg = InferConfig(th_cell=args.thresholds[0], th_seed=args.thresholds[1],
                       batch_size=args.batch_size, use_tiling=args.sliding_window,
                       tile_size=args.tile_size, tile_overlap=args.tile_overlap,
-                      quantize=args.quantize)
+                      quantize=args.quantize, tta=args.tta)
     engine = InferenceEngine.from_checkpoint(stem, cfg=cfg)
 
     file_ids = sorted(imgs_path.glob("*.tif*"))

@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="int8 forward on the large-spatial conv layers "
                         "(TPU MXU double-rate path; beyond-reference serving "
                         "mode, same checkpoints)")
+    parser.add_argument("--tta", default=False, action="store_true",
+                        help="Test-time augmentation: average predictions "
+                        "over the dihedral transforms (beyond reference; "
+                        "4-8x forward cost)")
     parser.add_argument("--local_store", default=None, type=str,
                         help="Path of a LocalStore root (offline mode)")
     parser.add_argument("--username", default=None, type=str)
@@ -124,7 +128,8 @@ def _run(args, store, stem) -> int:
             "Select only projects, datasets, and files from the same group!")
 
     cfg = InferConfig(th_cell=args.thresholds[0], th_seed=args.thresholds[1],
-                      use_tiling=args.sliding_window, quantize=args.quantize)
+                      use_tiling=args.sliding_window, quantize=args.quantize,
+                      tta=args.tta)
     engine = InferenceEngine.from_checkpoint(stem, cfg=cfg)
     infer_dataset(store, image_ids, engine, model_name=stem.name,
                   upload=args.upload, overwrite=args.overwrite,

@@ -136,6 +136,11 @@ class InferConfig:
     # int8 forward on the large-spatial conv layers (v5e double-rate MXU
     # path; beyond-reference serving mode — see models/blocks.QuantConv).
     quantize: bool = False
+    # Test-time augmentation (beyond reference): average predictions over
+    # the shape-preserving dihedral transforms (4 flip variants, all 8 of
+    # D4 when the padded shape is square — the same group the training
+    # augmentation samples, mytransforms.py:129-230).  ~4-8x forward cost.
+    tta: bool = False
 
 
 @dataclass(frozen=True)
@@ -151,6 +156,8 @@ class EvalConfig:
     # grid, evaluate halved-spacing neighbors around the running best for
     # this many rounds (0 = reference behavior, grid only)
     refine_steps: int = 0
+    # evaluate with test-time augmentation (InferConfig.tta)
+    tta: bool = False
 
 
 def get_max_epochs(n_samples: int, crop_size: int) -> int:

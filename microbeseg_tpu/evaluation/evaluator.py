@@ -110,7 +110,8 @@ class Evaluator:
             # eval.py:123-124); EvalConfig.batch_size drives device batching
             from microbeseg_tpu.config import InferConfig
             engine = InferenceEngine.from_checkpoint(
-                model_path, cfg=InferConfig(batch_size=self.cfg.batch_size),
+                model_path, cfg=InferConfig(batch_size=self.cfg.batch_size,
+                                            tta=self.cfg.tta),
                 mesh=self.mesh)
             label_type = engine.label_type
 

@@ -144,6 +144,50 @@ class InferenceEngine:
                 raise
         self._quant_shapes.add((h, w))
 
+    def _net_apply(self, variables, x) -> Tuple[jnp.ndarray, ...]:
+        """Traced model application on normalized, padded (B, H, W, 1)
+        input; returns distance -> (border, cell) each (B, H, W), boundary
+        -> (softmax probs (B, H, W, 3),).
+
+        With ``cfg.tta`` (beyond reference) predictions are averaged over
+        the shape-preserving dihedral transforms: the 4 flip variants, or
+        all 8 of D4 when H == W (the group the training augmentation's
+        Flip stage samples, reference mytransforms.py:129-230, so the
+        model is near-equivariant and the variants decorrelate).  Both
+        heads are scalar fields — invariant under the transform, so
+        inverse-mapping the prediction and averaging is exact.  The
+        variant loop unrolls inside the one jit: live memory stays ~one
+        forward (XLA schedules the accumulation chain sequentially) at
+        4x/8x the FLOPs."""
+        model, label_type = self.model, self.label_type
+
+        def base(xv):
+            preds = model.apply(variables, xv, train=False)
+            if label_type == "distance":
+                border, cell = preds
+                return border[..., 0], cell[..., 0]
+            return (jax.nn.softmax(preds, axis=-1),)
+
+        if not self.cfg.tta:
+            return base(x)
+        square = x.shape[1] == x.shape[2]
+        variants = [(t, fy, fx)
+                    for t in ((False, True) if square else (False,))
+                    for fy in (False, True)
+                    for fx in (False, True)]
+        acc = None
+        for t, fy, fx in variants:
+            xv = jnp.swapaxes(x, 1, 2) if t else x
+            xv = jnp.flip(xv, 1) if fy else xv
+            xv = jnp.flip(xv, 2) if fx else xv
+            inv = []
+            for p in base(xv):  # invert in reverse order
+                p = jnp.flip(p, 2) if fx else p
+                p = jnp.flip(p, 1) if fy else p
+                inv.append(jnp.swapaxes(p, 1, 2) if t else p)
+            acc = inv if acc is None else [a + b for a, b in zip(acc, inv)]
+        return tuple(a / len(variants) for a in acc)
+
     def _forward_fn(self, pad_y: int, pad_x: int):
         """Jitted pad-cropping forward pass on already-NORMALIZED input
         (used by the tiled path, whose prep runs in a separate device
@@ -152,7 +196,6 @@ class InferenceEngine:
         if key in self._forward_cache:
             return self._forward_cache[key]
 
-        model = self.model
         label_type = self.label_type
 
         # variables ride as an ARGUMENT, never a closure: closure-captured
@@ -163,13 +206,12 @@ class InferenceEngine:
         # device tree across every executable.
         def forward(variables, images):
             # images: (B, Hb, Wb, 1) float32 already normalized to [-1, 1]
-            preds = model.apply(variables, images, train=False)
+            preds = self._net_apply(variables, images)
             if label_type == "distance":
                 border, cell = preds
-                return (border[:, pad_y:, pad_x:, 0],
-                        cell[:, pad_y:, pad_x:, 0])
-            probs = jax.nn.softmax(preds, axis=-1)
-            return probs[:, pad_y:, pad_x:, :]
+                return (border[:, pad_y:, pad_x:],
+                        cell[:, pad_y:, pad_x:])
+            return preds[0][:, pad_y:, pad_x:, :]
 
         if self.mesh is not None:
             fn = jax.jit(forward,
@@ -221,7 +263,6 @@ class InferenceEngine:
         sw = max(int(round(w * scale)), 1) if scale < 1 else w
         th, tw = pad_bucket_shape(sh, sw)
         pad_y, pad_x = th - sh, tw - sw
-        model = self.model
         label_type = self.label_type
 
         # variables as ARGUMENT, not closure — see _forward_fn
@@ -233,17 +274,17 @@ class InferenceEngine:
                 x = jax.image.resize(x, (x.shape[0], sh, sw), "cubic")
             x = jnp.pad(x, ((0, 0), (pad_y, 0), (pad_x, 0)),
                         constant_values=-1.0)
-            preds = model.apply(variables, x[..., None], train=False)
+            preds = self._net_apply(variables, x[..., None])
             if label_type == "distance":
                 border, cell = preds
-                border = border[:, pad_y:, pad_x:, 0]
-                cell = cell[:, pad_y:, pad_x:, 0]
+                border = border[:, pad_y:, pad_x:]
+                cell = cell[:, pad_y:, pad_x:]
                 if scale < 1:
                     out = (border.shape[0], h, w)
                     border = jax.image.resize(border, out, "linear")
                     cell = jax.image.resize(cell, out, "linear")
                 return border, cell
-            probs = jax.nn.softmax(preds, axis=-1)[:, pad_y:, pad_x:, :]
+            probs = preds[0][:, pad_y:, pad_x:, :]
             if scale < 1:
                 probs = jax.image.resize(
                     probs, (probs.shape[0], h, w, probs.shape[-1]), "linear")

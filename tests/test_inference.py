@@ -196,6 +196,89 @@ class TestEngine:
         assert post._cache_size() == n0  # thresholds are traced, not baked in
 
 
+class RampModel:
+    """Position-only 'model': cell head = horizontal ramp in [0, 1],
+    independent of the input.  Not equivariant, so TTA's flip averaging
+    has an analytic result (ramp + mirrored ramp average to 0.5)."""
+
+    def apply(self, variables, images, train=False):
+        import jax.numpy as jnp
+        b, h, w, _ = images.shape
+        ramp = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, w)[None, None, :], (b, h, w))
+        return ramp[..., None] * 0.0, ramp[..., None]
+
+
+class BoundaryAnalyticModel:
+    """3-class logits derived from the input (boundary method)."""
+
+    def apply(self, variables, images, train=False):
+        import jax.numpy as jnp
+        x01 = (images[..., 0] + 1.0) / 2.0
+        return jnp.stack([1.0 - x01, x01, x01 * 0.5], axis=-1)
+
+
+class TestTTA:
+    """Test-time augmentation (InferConfig.tta, beyond reference):
+    dihedral-averaged predictions."""
+
+    def test_equivariant_model_unchanged(self, rng):
+        """AnalyticModel is pointwise in the input => exactly D4-
+        equivariant; TTA must reproduce the plain predictions (any
+        mismatch means a wrong inverse transform).  60x70 pads to a
+        non-square bucket (4 flip variants); 60x60 to a square one
+        (all 8 of D4)."""
+        for shape in ((60, 70), (60, 60)):
+            frames = _frames_from_blobs(rng, n=2, shape=shape)
+            eng = InferenceEngine(AnalyticModel(), {}, "distance",
+                                  cfg=InferConfig(batch_size=2))
+            tta = InferenceEngine(AnalyticModel(), {}, "distance",
+                                  cfg=InferConfig(batch_size=2, tta=True))
+            b0, c0 = eng.predict_raw(frames)
+            b1, c1 = tta.predict_raw(frames)
+            np.testing.assert_allclose(c1, c0, atol=1e-5)
+            np.testing.assert_allclose(b1, b0, atol=1e-5)
+
+    def test_flip_averaging_analytic(self, rng):
+        """RampModel predicts a position ramp regardless of input: the
+        flip variants mirror it, so the TTA average is the constant 0.5
+        everywhere — verifying the average really runs over correctly
+        inverse-mapped variants."""
+        frames = _frames_from_blobs(rng, n=1, shape=(60, 70))
+        tta = InferenceEngine(RampModel(), {}, "distance",
+                              cfg=InferConfig(tta=True))
+        _, cell = tta.predict_raw(frames)
+        np.testing.assert_allclose(cell, 0.5, atol=1e-5)
+
+    def test_boundary_probs(self, rng):
+        """Boundary method under TTA: softmax probs average to a valid
+        distribution and the equivariant analytic model is unchanged."""
+        frames = _frames_from_blobs(rng, n=1, shape=(60, 60))
+        eng = InferenceEngine(BoundaryAnalyticModel(), {}, "boundary",
+                              cfg=InferConfig())
+        tta = InferenceEngine(BoundaryAnalyticModel(), {}, "boundary",
+                              cfg=InferConfig(tta=True))
+        (p0,) = eng.predict_raw(frames)
+        (p1,) = tta.predict_raw(frames)
+        assert p1.shape == (1, 60, 60, 3)
+        np.testing.assert_allclose(p1.sum(-1), 1.0, atol=1e-5)
+        np.testing.assert_allclose(p1, p0, atol=1e-5)
+
+    def test_tiled_tta(self, rng):
+        """TTA composes with the tiled path (square tiles => 8 variants
+        inside the tile forward)."""
+        frames = _frames_from_blobs(rng, n=1, shape=(96, 96))
+        full_b, full_c = InferenceEngine(
+            AnalyticModel(), {}, "distance",
+            cfg=InferConfig()).predict_raw(frames)
+        tiled = InferenceEngine(
+            AnalyticModel(), {}, "distance",
+            cfg=InferConfig(use_tiling=True, tile_size=64, tile_overlap=16,
+                            batch_size=2, tta=True))
+        _, til_c = tiled.predict_raw(frames)
+        np.testing.assert_allclose(til_c, full_c, atol=1e-4)
+
+
 class TestDevicePrep:
     """The fused device pre-processing (`_prep_ops`) must match the host
     reference chain (`_normalize_batch`) bit-for-bit-ish: raw frames now
