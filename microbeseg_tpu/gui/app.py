@@ -304,6 +304,14 @@ class MicrobeSegMainWindow(QMainWindow):
             "recommended for rod-shaped cells in touching chains")
         layout.addWidget(self.eval_grid_checkbox, conn_row + 2, 0, 1, 3)
 
+        # test-time augmentation (beyond reference, InferConfig.tta):
+        # dihedral-averaged predictions in inference and evaluation
+        self.tta_checkbox = QCheckBox("TTA")
+        self.tta_checkbox.setToolTip(
+            "Test-time augmentation: average predictions over the dihedral "
+            "transforms (4-8x forward cost, small quality gain)")
+        layout.addWidget(self.tta_checkbox, conn_row + 2, 3, 1, 2)
+
         # per-model evaluation multi-select (reference eval model list,
         # gui:1039-1121)
         self.eval_model_list = QListWidget()
@@ -747,7 +755,7 @@ class MicrobeSegMainWindow(QMainWindow):
         from microbeseg_tpu.config import EvalConfig
         from microbeseg_tpu.evaluation.evaluator import Evaluator
 
-        ecfg = EvalConfig()
+        ecfg = EvalConfig(tta=self.tta_checkbox.isChecked())
         if self.eval_grid_checkbox.isChecked():
             ecfg = dataclasses.replace(
                 ecfg, th_seeds=(0.35, 0.45, 0.55, 0.65, 0.75))
@@ -790,7 +798,8 @@ class MicrobeSegMainWindow(QMainWindow):
             th_seed=float(self.th_seed_box.value()),
             apply_clahe=self.clahe_checkbox.isChecked(),
             scale_factor=float(self.scale_box.value()),
-            use_tiling=self.sliding_checkbox.isChecked())
+            use_tiling=self.sliding_checkbox.isChecked(),
+            tta=self.tta_checkbox.isChecked())
 
     def on_inference(self):
         from microbeseg_tpu.client.workers import infer_dataset

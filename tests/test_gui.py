@@ -440,6 +440,10 @@ class TestGuiSmoke:
         assert cfgs[0].th_seeds == (0.35, 0.45)  # reference eval.py:128
         assert cfgs[1].th_seeds == (0.35, 0.45, 0.55, 0.65, 0.75)
         assert cfgs[1].th_cells == cfgs[0].th_cells
+        assert not cfgs[0].tta
+        win.tta_checkbox.setChecked(True)
+        win.buttons["Evaluate"].click()
+        assert cfgs[2].tta
 
     def test_inference_settings_reach_engine_and_worker(
             self, gui_app, tmp_path, rng, monkeypatch):
@@ -456,6 +460,7 @@ class TestGuiSmoke:
         win.clahe_checkbox.setChecked(True)
         win.scale_box.setValue(0.5)
         win.upload_checkbox.setChecked(False)
+        win.tta_checkbox.setChecked(True)
 
         captured = {}
 
@@ -479,6 +484,7 @@ class TestGuiSmoke:
         assert (cfg.th_cell, cfg.th_seed) == (0.075, 0.35)
         assert cfg.use_tiling and cfg.apply_clahe
         assert cfg.scale_factor == 0.5
+        assert cfg.tta
         assert captured["kwargs"]["upload"] is False
 
     def test_model_selection_prefills_best_thresholds(
