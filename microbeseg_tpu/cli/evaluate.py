@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Test-time augmentation: average predictions "
                              "over the dihedral transforms (beyond "
                              "reference; 4-8x forward cost)")
+    parser.add_argument("--ensemble", default=False, action="store_true",
+                        help="Evaluate ALL --models as ONE ensemble "
+                             "(averaged predictions, beyond reference) "
+                             "instead of one row per model")
     return parser
 
 
@@ -64,6 +68,8 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(cfg, refine_steps=args.refine)
     if args.tta:
         cfg = dataclasses.replace(cfg, tta=True)
+    if args.ensemble:
+        cfg = dataclasses.replace(cfg, ensemble=True)
     ev = Evaluator(cfg, text_output=print)
     df = ev.evaluate(path_data, path_results,
                      [Path(m) for m in args.models])

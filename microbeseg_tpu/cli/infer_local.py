@@ -22,8 +22,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="microbeSEG-tpu inference script")
     parser.add_argument("--img_dir", "-i", required=True, type=str,
                         help="Directory with image files to process (.tif, .tiff)")
-    parser.add_argument("--model", "-m", required=True, type=str,
-                        help="Path to model")
+    parser.add_argument("--model", "-m", required=True, type=str, nargs="+",
+                        help="Path to model; several paths form an ensemble "
+                        "(averaged predictions, beyond reference)")
     parser.add_argument("--thresholds", "-t", default=[0.10, 0.45], type=float,
                         nargs="+", help="Thresholds for distance models "
                         "(th_cell th_seed)")
@@ -78,14 +79,16 @@ def main(argv=None) -> int:
                    else Path(args.result_path))
     result_path.mkdir(parents=True, exist_ok=True)
 
-    model = Path(args.model)
-    # strip only the checkpoint suffix — load_model's stem contract
-    # (models/io.py); any other dot belongs to the run name (e.g. run.1)
-    stem = model.with_suffix("") if model.suffix == ".ckpt" else model
-    if not (stem.parent / f"{stem.name}.ckpt").is_file():
-        raise FileNotFoundError(f"{stem}.ckpt not found!")
-    if not (stem.parent / f"{stem.name}.json").is_file():
-        raise FileNotFoundError(f"{stem}.json not found!")
+    stems = []
+    for model in map(Path, args.model):
+        # strip only the checkpoint suffix — load_model's stem contract
+        # (models/io.py); any other dot belongs to the run name (e.g. run.1)
+        stem = model.with_suffix("") if model.suffix == ".ckpt" else model
+        if not (stem.parent / f"{stem.name}.ckpt").is_file():
+            raise FileNotFoundError(f"{stem}.ckpt not found!")
+        if not (stem.parent / f"{stem.name}.json").is_file():
+            raise FileNotFoundError(f"{stem}.json not found!")
+        stems.append(stem)
     if len(args.thresholds) != 2:
         raise ValueError(f"{len(args.thresholds)} thresholds given, needed are 2")
 
@@ -93,7 +96,9 @@ def main(argv=None) -> int:
                       batch_size=args.batch_size, use_tiling=args.sliding_window,
                       tile_size=args.tile_size, tile_overlap=args.tile_overlap,
                       quantize=args.quantize, tta=args.tta)
-    engine = InferenceEngine.from_checkpoint(stem, cfg=cfg)
+    engine = (InferenceEngine.from_checkpoint(stems[0], cfg=cfg)
+              if len(stems) == 1
+              else InferenceEngine.from_checkpoints(stems, cfg=cfg))
 
     file_ids = sorted(imgs_path.glob("*.tif*"))
     if not file_ids:

@@ -33,8 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--id_type", default=None, type=str,
                         choices=("project", "dataset", "file"),
                         help='Meaning of --omero_ids (reference "-i")')
-    parser.add_argument("--model", "-m", required=True, type=str,
-                        help="Path to model")
+    parser.add_argument("--model", "-m", required=True, type=str, nargs="+",
+                        help="Path to model; several paths form an ensemble "
+                        "(averaged predictions, beyond reference)")
     parser.add_argument("--thresholds", "-t", default=[0.10, 0.45], type=float,
                         nargs="+", help="th_cell th_seed")
     parser.add_argument("--channel", "-c", default=0, type=int)
@@ -81,11 +82,13 @@ def main(argv=None) -> int:
 
     # model files checked BEFORE any credential prompt / server connection
     # (a typo'd --model must not cost a login round-trip)
-    model = Path(args.model)
-    stem = model.with_suffix("") if model.suffix == ".ckpt" else model
-    for suffix in (".ckpt", ".json"):
-        if not (stem.parent / f"{stem.name}{suffix}").is_file():
-            raise FileNotFoundError(f"{stem}{suffix} not found!")
+    stems = []
+    for model in map(Path, args.model):
+        stem = model.with_suffix("") if model.suffix == ".ckpt" else model
+        for suffix in (".ckpt", ".json"):
+            if not (stem.parent / f"{stem.name}{suffix}").is_file():
+                raise FileNotFoundError(f"{stem}{suffix} not found!")
+        stems.append(stem)
 
     if args.local_store:
         from microbeseg_tpu.client.store import LocalStore
@@ -95,12 +98,12 @@ def main(argv=None) -> int:
         store = omero_store_from_args(args)
 
     try:
-        return _run(args, store, stem)
+        return _run(args, store, stems)
     finally:
         store.close()
 
 
-def _run(args, store, stem) -> int:
+def _run(args, store, stems) -> int:
     extra_datasets = args._extra_datasets
     # Expand project -> datasets -> images (reference infer_script.py:79-108)
     image_ids = list(args.files)
@@ -130,8 +133,12 @@ def _run(args, store, stem) -> int:
     cfg = InferConfig(th_cell=args.thresholds[0], th_seed=args.thresholds[1],
                       use_tiling=args.sliding_window, quantize=args.quantize,
                       tta=args.tta)
-    engine = InferenceEngine.from_checkpoint(stem, cfg=cfg)
-    infer_dataset(store, image_ids, engine, model_name=stem.name,
+    engine = (InferenceEngine.from_checkpoint(stems[0], cfg=cfg)
+              if len(stems) == 1
+              else InferenceEngine.from_checkpoints(stems, cfg=cfg))
+    # the store's inference_model annotation names every ensemble member
+    model_name = "+".join(s.name for s in stems)
+    infer_dataset(store, image_ids, engine, model_name=model_name,
                   upload=args.upload, overwrite=args.overwrite,
                   result_dir=Path(args.result_path) if args.result_path else None,
                   channel=args.channel,

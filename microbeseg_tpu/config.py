@@ -158,6 +158,9 @@ class EvalConfig:
     refine_steps: int = 0
     # evaluate with test-time augmentation (InferConfig.tta)
     tta: bool = False
+    # evaluate ALL given models as ONE ensemble (averaged predictions,
+    # InferenceEngine.from_checkpoints) instead of one row per model
+    ensemble: bool = False
 
 
 def get_max_epochs(n_samples: int, crop_size: int) -> int:

@@ -95,9 +95,17 @@ class Evaluator:
         scores = {"model": [], "th_cell": [], "th_seed": [],
                   "aji+ (mean)": [], "aji+ (std)": [], "test set version": []}
 
-        for i, model_path in enumerate(models):
-            model_path = Path(model_path)
-            out_dir = path_results / f"{model_path.parent.stem}_{model_path.stem}"
+        # ensemble mode (beyond reference): ALL given checkpoints form ONE
+        # averaged model -> one job/row; otherwise one job per checkpoint
+        if self.cfg.ensemble and len(models) > 1:
+            jobs = [[Path(p) for p in models]]
+        else:
+            jobs = [[Path(p)] for p in models]
+
+        for i, group in enumerate(jobs):
+            model_path = group[0]
+            name = "+".join(p.stem for p in group)
+            out_dir = path_results / f"{model_path.parent.stem}_{name}"
             if out_dir.is_dir():
                 shutil.rmtree(out_dir)
             out_dir.mkdir(parents=True)
@@ -109,10 +117,13 @@ class Evaluator:
             # eval pre-processing: no CLAHE, no scaling (reference
             # eval.py:123-124); EvalConfig.batch_size drives device batching
             from microbeseg_tpu.config import InferConfig
-            engine = InferenceEngine.from_checkpoint(
-                model_path, cfg=InferConfig(batch_size=self.cfg.batch_size,
-                                            tta=self.cfg.tta),
-                mesh=self.mesh)
+            icfg = InferConfig(batch_size=self.cfg.batch_size,
+                               tta=self.cfg.tta)
+            engine = (InferenceEngine.from_checkpoint(
+                          model_path, cfg=icfg, mesh=self.mesh)
+                      if len(group) == 1 else
+                      InferenceEngine.from_checkpoints(
+                          group, cfg=icfg, mesh=self.mesh))
             label_type = engine.label_type
 
             if label_type == "distance":
@@ -127,7 +138,7 @@ class Evaluator:
             if result is None:
                 return None
             score, std, th_cell, th_seed, version = result
-            scores["model"].append(f"{model_path.parent.stem}: {model_path.stem}")
+            scores["model"].append(f"{model_path.parent.stem}: {name}")
             scores["th_cell"].append(th_cell)
             scores["th_seed"].append(th_seed)
             scores["aji+ (mean)"].append(score)
@@ -135,7 +146,7 @@ class Evaluator:
             scores["test set version"].append(version)
 
             self._zip_test_set(path_data, out_dir)
-            self.progress(int(100 * (i + 1) / len(models)))
+            self.progress(int(100 * (i + 1) / len(jobs)))
 
         df = pd.DataFrame(scores)
         agg_path = path_results.parent / f"{path_results.stem}.csv"

@@ -310,7 +310,15 @@ class MicrobeSegMainWindow(QMainWindow):
         self.tta_checkbox.setToolTip(
             "Test-time augmentation: average predictions over the dihedral "
             "transforms (4-8x forward cost, small quality gain)")
-        layout.addWidget(self.tta_checkbox, conn_row + 2, 3, 1, 2)
+        layout.addWidget(self.tta_checkbox, conn_row + 2, 3)
+
+        # ensemble evaluation (beyond reference, EvalConfig.ensemble):
+        # all evaluated models fold into ONE averaged model/row
+        self.ensemble_checkbox = QCheckBox("Ensemble")
+        self.ensemble_checkbox.setToolTip(
+            "Evaluate the selected models as ONE averaged ensemble "
+            "(one result row) instead of one row per model")
+        layout.addWidget(self.ensemble_checkbox, conn_row + 2, 4)
 
         # per-model evaluation multi-select (reference eval model list,
         # gui:1039-1121)
@@ -755,7 +763,8 @@ class MicrobeSegMainWindow(QMainWindow):
         from microbeseg_tpu.config import EvalConfig
         from microbeseg_tpu.evaluation.evaluator import Evaluator
 
-        ecfg = EvalConfig(tta=self.tta_checkbox.isChecked())
+        ecfg = EvalConfig(tta=self.tta_checkbox.isChecked(),
+                          ensemble=self.ensemble_checkbox.isChecked())
         if self.eval_grid_checkbox.isChecked():
             ecfg = dataclasses.replace(
                 ecfg, th_seeds=(0.35, 0.45, 0.55, 0.65, 0.75))

@@ -49,10 +49,18 @@ class InferenceEngine:
 
     def __init__(self, model, variables, label_type: str = "distance",
                  cfg: Optional[InferConfig] = None, mesh=None,
-                 max_seeds: Optional[int] = None):
+                 max_seeds: Optional[int] = None, extra=()):
+        """``extra``: additional ``(model, variables)`` ensemble members
+        (beyond reference) whose predictions are averaged with the primary
+        model's — see ``from_checkpoints``.  All members must share
+        ``label_type``; architectures may differ."""
         self.model = model
         self.label_type = label_type
         self.cfg = cfg or InferConfig()
+        if self.cfg.quantize and extra:
+            raise ValueError("quantize is not supported for ensembles "
+                             "(per-member activation calibration is not "
+                             "implemented)")
         # Device-resident weights, uploaded ONCE per engine and passed to
         # every jitted forward as an ARGUMENT.  Closure-captured (or numpy)
         # leaves would be inlined into the lowered module as literal
@@ -64,8 +72,12 @@ class InferenceEngine:
         if mesh is not None:
             self.variables = jax.device_put(
                 variables, replicated_sharding(mesh))
+            self._extra = tuple(
+                (m, jax.device_put(v, replicated_sharding(mesh)))
+                for m, v in extra)
         else:
             self.variables = jax.device_put(variables)
+            self._extra = tuple((m, jax.device_put(v)) for m, v in extra)
         if self.cfg.quantize and hasattr(model, "quantize"):
             # int8 forward: same param tree, eval-mode-only swap of the
             # large-spatial convs to the MXU int8 path (blocks.QuantConv);
@@ -102,6 +114,24 @@ class InferenceEngine:
                         mesh=None) -> "InferenceEngine":
         model, variables, train_cfg = load_model(model_path)
         return cls(model, variables, train_cfg.label_type, cfg=cfg, mesh=mesh)
+
+    @classmethod
+    def from_checkpoints(cls, model_paths, cfg: Optional[InferConfig] = None,
+                         mesh=None) -> "InferenceEngine":
+        """Ensemble engine (beyond reference): predictions averaged over
+        several checkpoints — e.g. the per-iteration models one training
+        run produces (reference train.py:171 names them _01, _02, ...).
+        Architectures may differ; label types must match.  Averaging
+        happens inside the one forward jit (unrolled member loop, exactly
+        like the TTA variant loop) and composes with ``cfg.tta``."""
+        loaded = [load_model(Path(p)) for p in model_paths]
+        label_types = {t.label_type for _, _, t in loaded}
+        if len(label_types) > 1:
+            raise ValueError(
+                f"ensemble members disagree on label_type: {label_types}")
+        model, variables, train_cfg = loaded[0]
+        return cls(model, variables, train_cfg.label_type, cfg=cfg,
+                   mesh=mesh, extra=[(m, v) for m, v, _ in loaded[1:]])
 
     # ------------------------------------------------------------------
 
@@ -144,29 +174,46 @@ class InferenceEngine:
                 raise
         self._quant_shapes.add((h, w))
 
+    def _var_trees(self):
+        """All member variable trees, primary first — late-bound so quant
+        calibration's updates to ``self.variables`` are picked up.  Passed
+        to every jitted forward as ONE tuple argument (closure capture
+        would inline the weights as HLO literals — see __init__)."""
+        return (self.variables, *(v for _, v in self._extra))
+
     def _net_apply(self, variables, x) -> Tuple[jnp.ndarray, ...]:
         """Traced model application on normalized, padded (B, H, W, 1)
         input; returns distance -> (border, cell) each (B, H, W), boundary
-        -> (softmax probs (B, H, W, 3),).
+        -> (softmax probs (B, H, W, 3),).  ``variables`` is the tuple of
+        member trees from ``_var_trees`` (length 1 without an ensemble).
 
-        With ``cfg.tta`` (beyond reference) predictions are averaged over
-        the shape-preserving dihedral transforms: the 4 flip variants, or
-        all 8 of D4 when H == W (the group the training augmentation's
-        Flip stage samples, reference mytransforms.py:129-230, so the
-        model is near-equivariant and the variants decorrelate).  Both
-        heads are scalar fields — invariant under the transform, so
-        inverse-mapping the prediction and averaging is exact.  The
-        variant loop unrolls inside the one jit: live memory stays ~one
-        forward (XLA schedules the accumulation chain sequentially) at
-        4x/8x the FLOPs."""
-        model, label_type = self.model, self.label_type
+        Ensemble members (``from_checkpoints``) average head-wise —
+        probability averaging for the boundary softmax, field averaging
+        for the distance heads.  With ``cfg.tta`` (beyond reference)
+        predictions are additionally averaged over the shape-preserving
+        dihedral transforms: the 4 flip variants, or all 8 of D4 when
+        H == W (the group the training augmentation's Flip stage samples,
+        reference mytransforms.py:129-230, so the model is
+        near-equivariant and the variants decorrelate).  Both heads are
+        scalar fields — invariant under the transform, so inverse-mapping
+        the prediction and averaging is exact.  Member and variant loops
+        unroll inside the one jit: live memory stays ~one forward (XLA
+        schedules the accumulation chain sequentially) at
+        members x variants times the FLOPs."""
+        label_type = self.label_type
+        models = (self.model, *(m for m, _ in self._extra))
 
         def base(xv):
-            preds = model.apply(variables, xv, train=False)
-            if label_type == "distance":
-                border, cell = preds
-                return border[..., 0], cell[..., 0]
-            return (jax.nn.softmax(preds, axis=-1),)
+            acc = None
+            for mdl, var in zip(models, variables):
+                preds = mdl.apply(var, xv, train=False)
+                if label_type == "distance":
+                    out = (preds[0][..., 0], preds[1][..., 0])
+                else:
+                    out = (jax.nn.softmax(preds, axis=-1),)
+                acc = (list(out) if acc is None
+                       else [a + b for a, b in zip(acc, out)])
+            return tuple(a / len(models) for a in acc)
 
         if not self.cfg.tta:
             return base(x)
@@ -221,7 +268,7 @@ class InferenceEngine:
             fn = jax.jit(forward)
         # late-bound so quant calibration's variable updates are picked up
         # (a changed tree structure simply retraces)
-        wrapped = lambda *a: fn(self.variables, *a)  # noqa: E731
+        wrapped = lambda *a: fn(self._var_trees(), *a)  # noqa: E731
         self._forward_cache[key] = wrapped
         return wrapped
 
@@ -296,7 +343,7 @@ class InferenceEngine:
                                        batch_sharding(self.mesh)))
         else:
             fn = jax.jit(forward)
-        wrapped = lambda *a: fn(self.variables, *a)  # noqa: E731
+        wrapped = lambda *a: fn(self._var_trees(), *a)  # noqa: E731
         self._forward_cache[key] = wrapped
         return wrapped
 

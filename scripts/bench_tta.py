@@ -64,7 +64,7 @@ def main():
         def chain(variables, x, s, n, eng=eng):
             def body(_, carry):
                 x, acc = carry
-                border, cell = eng._net_apply(variables, x)
+                border, cell = eng._net_apply((variables,), x)
                 # acc consumes BOTH heads or XLA dead-code-eliminates the
                 # unused decoder and under-reports the forward cost
                 return (x + s * cell[..., None],

@@ -442,8 +442,10 @@ class TestGuiSmoke:
         assert cfgs[1].th_cells == cfgs[0].th_cells
         assert not cfgs[0].tta
         win.tta_checkbox.setChecked(True)
+        win.ensemble_checkbox.setChecked(True)
         win.buttons["Evaluate"].click()
-        assert cfgs[2].tta
+        assert cfgs[2].tta and cfgs[2].ensemble
+        assert not cfgs[0].ensemble
 
     def test_inference_settings_reach_engine_and_worker(
             self, gui_app, tmp_path, rng, monkeypatch):

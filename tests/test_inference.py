@@ -335,6 +335,102 @@ class TestDevicePrep:
         np.testing.assert_allclose(til_c, full_c, atol=1e-4)
 
 
+class ConstModel:
+    """Input-independent 'model': cell head = constant ``c`` (border 0).
+    Two members with different constants make the ensemble average
+    analytic."""
+
+    def __init__(self, c):
+        self.c = c
+
+    def apply(self, variables, images, train=False):
+        import jax.numpy as jnp
+        f = jnp.full(images.shape[:3] + (1,), self.c, jnp.float32)
+        return f * 0.0, f
+
+
+class TestEnsemble:
+    """Ensemble inference (InferenceEngine.from_checkpoints /
+    EvalConfig.ensemble, beyond reference): member-averaged predictions."""
+
+    def test_member_average_analytic(self, rng):
+        frames = _frames_from_blobs(rng, n=1, shape=(60, 70))
+        eng = InferenceEngine(ConstModel(0.2), {}, "distance",
+                              extra=[(ConstModel(0.6), {})])
+        _, cell = eng.predict_raw(frames)
+        np.testing.assert_allclose(cell, 0.4, atol=1e-5)
+
+    def test_composes_with_tta(self, rng):
+        """Const members are trivially equivariant: ensemble+TTA must give
+        the same member average through the 8-variant square path."""
+        frames = _frames_from_blobs(rng, n=1, shape=(60, 60))
+        eng = InferenceEngine(ConstModel(0.2), {}, "distance",
+                              cfg=InferConfig(tta=True),
+                              extra=[(ConstModel(0.6), {})])
+        _, cell = eng.predict_raw(frames)
+        np.testing.assert_allclose(cell, 0.4, atol=1e-5)
+
+    def test_quantize_rejected(self):
+        with pytest.raises(ValueError, match="quantize"):
+            InferenceEngine(ConstModel(0.2), {}, "distance",
+                            cfg=InferConfig(quantize=True),
+                            extra=[(ConstModel(0.6), {})])
+
+    def _save_tiny(self, tmp_path, run_name, method="distance", seed=0):
+        import jax
+        from microbeseg_tpu.models.io import save_model
+        from microbeseg_tpu.models.unet import build_unet
+
+        distance = method == "distance"
+        mcfg = ModelConfig(filters=(8, 16),
+                           unet_type="DU" if distance else "U",
+                           ch_out=1 if distance else 3)
+        model = build_unet(mcfg)
+        variables = model.init(jax.random.PRNGKey(seed),
+                               np.zeros((1, 64, 64, 1), np.float32),
+                               train=False)
+        models_dir = tmp_path / "models" / "trainset"
+        cfg = TrainConfig(model=mcfg, run_name=run_name, batch_size=2,
+                          label_type=method,
+                          loss="smooth_l1" if distance else "ce_dice")
+        save_model(dict(variables), cfg, models_dir)
+        return models_dir / run_name
+
+    def test_from_checkpoints_label_type_mismatch(self, tmp_path):
+        a = self._save_tiny(tmp_path, "distance_model_01", "distance")
+        b = self._save_tiny(tmp_path, "boundary_model_01", "boundary")
+        with pytest.raises(ValueError, match="label_type"):
+            InferenceEngine.from_checkpoints([a, b])
+
+    def test_evaluator_ensemble_row(self, tmp_path, rng):
+        """EvalConfig.ensemble folds all models into one row named after
+        every member; the artifact contract is the single-model one."""
+        from microbeseg_tpu.evaluation.evaluator import Evaluator
+        from microbeseg_tpu.utils.tiff import imwrite
+
+        data = tmp_path / "trainset"
+        (data / "test").mkdir(parents=True)
+        for i in range(2):
+            mask = synthetic_blobs(rng, shape=(64, 64), n_blobs=3)
+            img = ((mask > 0) * 30000 + 1000).astype(np.uint16)
+            imwrite(data / "test" / f"img_{i:02d}.tif", img)
+            imwrite(data / "test" / f"mask_{i:02d}.tif", mask)
+        a = self._save_tiny(tmp_path, "distance_model_01", seed=0)
+        b = self._save_tiny(tmp_path, "distance_model_02", seed=1)
+
+        results = tmp_path / "eval" / "trainset"
+        results.mkdir(parents=True)
+        ev = Evaluator(EvalConfig(th_cells=(0.05,), th_seeds=(0.45,),
+                                  ensemble=True))
+        df = ev.evaluate(data, results, [a, b])
+        assert df is not None and len(df) == 1
+        assert df.iloc[0]["model"] == \
+            "trainset: distance_model_01+distance_model_02"
+        out_dir = results / "trainset_distance_model_01+distance_model_02"
+        assert (out_dir / "scores.csv").exists()
+        assert (out_dir / "test_set.zip").exists()
+
+
 class TestEvaluatorArtifacts:
     def test_artifact_contract(self, tmp_path, rng):
         """Random-weight tiny model through the full eval pipeline: check the
