@@ -36,6 +36,64 @@ def _onehot_chunk(cap: int) -> int:
     return max(512, _ONEHOT_ELEMS // (cap + 1))
 
 
+_RADIX_LO = 256  # low-radix width: one_hot rows stay bf16-exact (0/1)
+
+
+def _prune_radix(rank: jnp.ndarray, cap: int, min_area_floor: float,
+                 rel_mean: float) -> jnp.ndarray:
+    """Area histogram + compacting remap for large id capacities, MXU-only.
+
+    Decomposes id = hi * 256 + lo.  The (cap+1)-bin histogram becomes
+    ``areas[hi, lo] = oh_lo^T @ oh_hi`` and the remap-table lookup becomes
+    ``out = rowsum((oh_hi @ table) * oh_lo)`` — two pixel-chunked matmul
+    scans with O(pixels * (256 + cap/256)) one-hot construction, replacing
+    per-element scatter-add/gather traffic (~0.4 ms per 65K elements on
+    this hardware, scripts/microbench_gather.py).  All selections are
+    exact: one-hot rows are 0/1, per-pixel products pick a single table
+    entry, and new ids (< 2^24) are exact in f32.
+    """
+    n_hi = -(-(cap + 1) // _RADIX_LO)
+    flat = rank.reshape(-1)
+    n_pix = flat.size
+    # chunk budget: the bf16 one-hot intermediates stay ~64 MB
+    chunk = max(4096, min((32 * 1024 * 1024) // (_RADIX_LO + n_hi), n_pix))
+    pad = (-n_pix) % chunk
+    chunks = jnp.pad(flat, (0, pad)).reshape(-1, chunk)  # pad lands in id 0
+
+    def onehots(c):
+        oh_lo = jax.nn.one_hot(c & (_RADIX_LO - 1), _RADIX_LO,
+                               dtype=jnp.bfloat16)
+        oh_hi = jax.nn.one_hot(c >> 8, n_hi, dtype=jnp.bfloat16)
+        return oh_lo, oh_hi
+
+    def hist_body(acc, c):
+        oh_lo, oh_hi = onehots(c)
+        return acc + jnp.einsum("pl,ph->hl", oh_lo, oh_hi,
+                                preferred_element_type=jnp.float32), None
+
+    hist, _ = jax.lax.scan(
+        hist_body, jnp.zeros((n_hi, _RADIX_LO), jnp.float32), chunks)
+    areas = hist.reshape(-1)  # index hi*256+lo == id
+    areas = areas.at[0].set(0.0)
+    n = jnp.sum(areas > 0)
+    mean_area = jnp.sum(areas) / jnp.maximum(n, 1)
+    min_area = jnp.where(n > 0, rel_mean * mean_area, 0.0)
+    min_area = jnp.maximum(min_area, min_area_floor)
+    kept = areas > min_area  # ids beyond cap have zero area -> never kept
+    table = (jnp.cumsum(kept.astype(jnp.int32)) * kept).astype(
+        jnp.float32).reshape(n_hi, _RADIX_LO)
+
+    def remap_body(_, c):
+        oh_lo, oh_hi = onehots(c)
+        rows = jnp.einsum("ph,hl->pl", oh_hi, table,
+                          preferred_element_type=jnp.float32)
+        return None, jnp.einsum("pl,pl->p", rows, oh_lo.astype(jnp.float32),
+                                preferred_element_type=jnp.float32)
+
+    _, out = jax.lax.scan(remap_body, None, chunks)
+    return out.reshape(-1)[:n_pix].astype(jnp.int32).reshape(rank.shape)
+
+
 def _prune_small_seeds(seeds_bin: jnp.ndarray, min_area_floor: float,
                        rel_mean: float, max_seeds: int = 256) -> jnp.ndarray:
     """Label seed components sequentially and drop those with area <=
@@ -56,24 +114,19 @@ def _prune_small_seeds(seeds_bin: jnp.ndarray, min_area_floor: float,
     cap = max_seeds
     rank = jnp.where(rank > cap, 0, rank)  # beyond-capacity components drop
 
-    # Large caps (area-scaled full-frame post-processing): the one-hot
-    # CONSTRUCTION is O(pixels * cap) VPU compares — at 2048^2 with a 16K
-    # cap that is ~70 G element-ops (~11 s/frame measured), while the
-    # scatter-add histogram + table-gather remap are linear in pixels
-    # (~0.4 ms per 65K elements, scripts/microbench_gather.py).  The matmul
-    # path only wins at the small fixed cap of the hot crop path.
+    # Large caps (area-scaled full-frame post-processing): a single one-hot
+    # would be O(pixels * cap) VPU compares — at 2048^2 with a 16K cap that
+    # is ~70 G element-ops (~11 s/frame measured).  The round-3 scatter-add
+    # histogram + table-gather remap was linear in pixels but still paid
+    # ~0.4 ms per 65K elements of per-element gather/scatter traffic
+    # (scripts/microbench_gather.py) — 66 ms at 2048^2 / ~280 ms at 4096^2,
+    # the largest single stage of full-frame post-processing.  The radix
+    # decomposition below (id = hi*256 + lo) keeps everything on the MXU:
+    # construction is O(pixels * (256 + cap/256)) compares and both the
+    # histogram and the remap become pixel-chunked matmuls.  Measured at
+    # 2048^2 cap 16384: 66 -> 8 ms (bit-identical outputs, tested).
     if cap > 256:
-        flat = rank.reshape(-1)
-        areas = jax.ops.segment_sum(jnp.ones(flat.shape, jnp.float32),
-                                    flat, num_segments=cap + 1)
-        areas = areas.at[0].set(0.0)
-        n = jnp.sum(areas > 0)
-        mean_area = jnp.sum(areas) / jnp.maximum(n, 1)
-        min_area = jnp.where(n > 0, rel_mean * mean_area, 0.0)
-        min_area = jnp.maximum(min_area, min_area_floor)
-        kept = areas > min_area
-        newid = jnp.cumsum(kept.astype(jnp.int32)) * kept
-        return jnp.take(newid, flat).reshape(rank.shape)
+        return _prune_radix(rank, cap, min_area_floor, rel_mean)
 
     # bf16 represents integers <= 256 exactly; the one-hot rows are 0/1, so
     # the remap matmul is exact

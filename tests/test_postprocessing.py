@@ -102,6 +102,56 @@ class TestChunkedSeedPrune:
         assert masks_iou(ours, ref) > 0.99
 
 
+class TestRadixPrune:
+    def test_radix_path_matches_small_cap_path(self, rng):
+        """The large-cap radix-matmul prune (cap > 256) must be bit-identical
+        to the small-cap one-hot path on inputs where neither cap binds."""
+        import jax.numpy as jnp
+
+        import microbeseg_tpu.ops.postprocessing as pp
+
+        seeds = np.zeros((96, 96), bool)
+        for _ in range(30):
+            cy, cx = rng.integers(4, 92, 2)
+            r = int(rng.integers(1, 4))
+            seeds[cy - r:cy + r + 1, cx - r:cx + r + 1] = True
+        small = np.asarray(pp._prune_small_seeds(
+            jnp.asarray(seeds), 4.0, 0.10, max_seeds=256))
+        radix = np.asarray(pp._prune_small_seeds(
+            jnp.asarray(seeds), 4.0, 0.10, max_seeds=300))
+        np.testing.assert_array_equal(small, radix)
+
+    def test_radix_matches_numpy_oracle_many_ids(self, rng):
+        """Exactness of the radix histogram/remap at a multi-thousand-id
+        capacity (the area-scaled full-frame configuration)."""
+        import jax.numpy as jnp
+
+        import microbeseg_tpu.ops.postprocessing as pp
+
+        H = W = 512
+        rank = np.zeros((H, W), np.int32)
+        for k in range(1, 501):
+            cy, cx = rng.integers(4, H - 4, 2)
+            r = int(rng.integers(1, 5))
+            rank[cy - r:cy + r + 1, cx - r:cx + r + 1] = k
+        ids = np.unique(rank)
+        remap = np.zeros(ids.max() + 1, np.int64)
+        remap[ids] = np.arange(len(ids))
+        rank = remap[rank].astype(np.int32)
+
+        cap = 2048
+        out = np.asarray(pp._prune_radix(jnp.asarray(rank), cap, 4.0, 0.10))
+
+        areas = np.bincount(rank.reshape(-1), minlength=cap + 1).astype(float)
+        areas[0] = 0
+        n = (areas > 0).sum()
+        min_area = max(0.10 * areas.sum() / max(n, 1) if n else 0.0, 4.0)
+        kept = areas > min_area
+        newid = np.cumsum(kept.astype(np.int64)) * kept
+        ref = newid[rank.reshape(-1)].reshape(rank.shape)
+        np.testing.assert_array_equal(out, ref)
+
+
 class TestLargeInstanceCounts:
     def test_cap_scales_beyond_256_instances(self, rng):
         """Full-frame post-processing must keep >256 instances when given a
