@@ -191,10 +191,9 @@ def distance_postprocessing(border_prediction: jnp.ndarray,
     'fast' = drainage labeling + flood cleanup (prefer on CPU).
     """
     if method == "auto":
-        from microbeseg_tpu.ops.pallas.flood import MAX_VMEM_SIDE
-        small = max(cell_prediction.shape) <= MAX_VMEM_SIDE
-        # the packed-key kernel carries labels in 12 bits (flood.py)
-        method = ("pallas" if small and max_seeds < (1 << 12)
+        # the packed key carries labels in 12 bits on the crop path and 24
+        # on the tiled/large-cap paths; flood_or_fallback routes by size
+        method = ("pallas" if max_seeds < (1 << 24) - 1
                   and jax.default_backend() != "cpu"
                   else "flood")
     cell = gaussian_filter(cell_prediction.astype(jnp.float32), sigma=0.5)
@@ -216,12 +215,12 @@ def distance_postprocessing(border_prediction: jnp.ndarray,
         labels = watershed_fast(-cell, seeds, mask)
     elif method == "pallas":
         from microbeseg_tpu.ops.pallas.flood import flood_or_fallback
-        if max_seeds >= (1 << 12):
-            # the packed key carries labels in 12 bits — a forced 'pallas'
-            # with a larger cap would silently corrupt level AND label
+        if max_seeds >= (1 << 24) - 1:
+            # the packed key carries labels in <= 24 bits — a forced
+            # 'pallas' with a larger cap would silently corrupt both fields
             raise ValueError(
-                f"method='pallas' supports max_seeds < 4096, got {max_seeds}"
-                " (use method='auto'/'flood')")
+                f"method='pallas' supports max_seeds < 2^24-1, got "
+                f"{max_seeds} (use method='auto'/'flood')")
         labels = flood_or_fallback(-cell, seeds, mask, n_levels=n_levels,
                                    max_label=max_seeds)
     else:

@@ -126,6 +126,12 @@ def main(stages):
         res["floodp"] = slope_ms(chain(lambda c, b: flood_pallas(
             -c, seeds, masks).astype(jnp.float32).sum()),
             (cells, borders), n=N)
+    if "floodt" in stages:
+        from microbeseg_tpu.ops.pallas.flood import flood_tiled
+        res["floodt"] = slope_ms(chain(lambda c, b: jax.vmap(
+            lambda cc, ss, mm: flood_tiled(-cc, ss, mm))(
+                c, seeds, masks).astype(jnp.float32).sum()),
+            (cells, borders), n=N)
 
     for k, v in res.items():
         print(f"{k:8s} {v:8.3f} ms/crop")

@@ -60,6 +60,97 @@ class TestPallasFlood:
         assert flood.MAX_VMEM_SIDE < 8192  # big frames must fall back
 
 
+def _blob_field(rng, size, n_blobs=24):
+    yy, xx = np.mgrid[0:size, 0:size]
+    cell = np.zeros((size, size), np.float32)
+    for _ in range(n_blobs):
+        cy, cx = rng.integers(10, size - 10, 2)
+        r = int(rng.integers(6, 14))
+        cell = np.maximum(
+            cell, np.clip(1 - np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2) / r,
+                          0, 1))
+    from scipy import ndimage
+    seeds, _ = ndimage.label(cell > 0.6)
+    return cell, seeds.astype(np.int32), cell > 0.1
+
+
+class TestFloodTiled:
+    """flood_tiled: the large-frame window flood (global quantization,
+    per-window VMEM flood, interior paste, XLA cleanup)."""
+
+    def test_matches_xla_flood(self, rng):
+        import jax.numpy as jnp
+        from microbeseg_tpu.ops.pallas.flood import flood_tiled
+        from microbeseg_tpu.ops.watershed import watershed
+
+        cell, seeds, mask = _blob_field(rng, 256)
+        # the production 128 levels: at coarse quantization (8/32 levels)
+        # plateau ties dominate and the layouts legitimately diverge up to
+        # ~2% on single instances; at 128 the measured divergence is zero
+        ref = np.asarray(watershed(jnp.asarray(-cell), jnp.asarray(seeds),
+                                   jnp.asarray(mask), n_levels=128))
+        out = np.asarray(flood_tiled(jnp.asarray(-cell), jnp.asarray(seeds),
+                                     jnp.asarray(mask), n_levels=128,
+                                     tile=64, halo=32, interpret=True))
+        assert np.array_equal(out > 0, ref > 0)  # identical coverage
+        for k in range(1, seeds.max() + 1):
+            a, b = out == k, ref == k
+            iou = (a & b).sum() / max((a | b).sum(), 1)
+            assert iou >= 0.99, f"instance {k}: IoU {iou}"
+
+    def test_vmap_over_frames(self, rng):
+        """The engine vmaps post-processing over the frame batch."""
+        import jax
+        import jax.numpy as jnp
+        from microbeseg_tpu.ops.pallas.flood import flood_tiled
+
+        cell, seeds, mask = _blob_field(rng, 128, n_blobs=8)
+        single = np.asarray(flood_tiled(
+            jnp.asarray(-cell), jnp.asarray(seeds), jnp.asarray(mask),
+            n_levels=8, tile=64, halo=32, interpret=True))
+        batched = np.asarray(jax.vmap(
+            lambda c, s, m: flood_tiled(c, s, m, n_levels=8, tile=64,
+                                        halo=32, interpret=True))(
+            jnp.asarray(-cell)[None], jnp.asarray(seeds)[None],
+            jnp.asarray(mask)[None]))
+        np.testing.assert_array_equal(batched[0], single)
+
+    def test_chunked_window_batches(self, rng):
+        """>16 windows run as lax.map over grid-16 pallas chunks (Mosaic's
+        scoped-VMEM accounting grows with grid length); the chunked path
+        must agree with the direct one."""
+        import jax.numpy as jnp
+        from microbeseg_tpu.ops.pallas.flood import flood_tiled
+
+        cell, seeds, mask = _blob_field(rng, 320)  # 5x5 = 25 windows > 16
+        out = np.asarray(flood_tiled(jnp.asarray(-cell), jnp.asarray(seeds),
+                                     jnp.asarray(mask), n_levels=8,
+                                     tile=64, halo=32, interpret=True))
+        # windows sized to cover the frame in <= 16 tiles -> direct path
+        direct = np.asarray(flood_tiled(jnp.asarray(-cell),
+                                        jnp.asarray(seeds),
+                                        jnp.asarray(mask), n_levels=8,
+                                        tile=128, halo=64, interpret=True))
+        assert np.array_equal(out > 0, direct > 0)
+        agree = (out == direct).mean()
+        assert agree > 0.995, f"tiled layouts disagree on {1-agree:.3%} px"
+
+    def test_beyond_12bit_labels(self, rng):
+        """The tiled path carries 24-bit labels: ids above 4095 must come
+        through unscathed (the 12-bit crop kernel would corrupt them)."""
+        import jax.numpy as jnp
+        from microbeseg_tpu.ops.pallas.flood import flood_tiled
+
+        cell, seeds, mask = _blob_field(rng, 128, n_blobs=8)
+        shifted = np.where(seeds > 0, seeds + 5000, 0).astype(np.int32)
+        out = np.asarray(flood_tiled(jnp.asarray(-cell),
+                                     jnp.asarray(shifted),
+                                     jnp.asarray(mask), n_levels=8,
+                                     tile=64, halo=32, interpret=True))
+        got = set(np.unique(out)) - {0}
+        assert got == set(np.unique(shifted)) - {0}
+
+
 class TestGraftEntry:
     def test_entry_shapes(self):
         import jax
