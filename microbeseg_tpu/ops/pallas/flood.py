@@ -304,19 +304,15 @@ def flood_tiled(value: jnp.ndarray, markers: jnp.ndarray, mask: jnp.ndarray,
     per-instance IoU against the XLA flood).
 
     value (H, W) f32, markers (H, W) int32 (< 2^24), mask (H, W) bool.
-    The window (tile + 2*halo) must be a multiple of the (8, 128) Pallas
-    tile grid, and — because window blocks are double-buffered across
-    grid steps — stay around 512^2 to fit the 16 MB VMEM budget (the
-    3-plane kernel at 768^2 measured 20 MB; even the 2-plane kernel at
-    640^2 windows measured 18.6 MB on 64-window grids).  Smaller halo
-    also means less duplicated level-loop work; 64 px covers the corpus
-    cell radii and the cleanup sweep handles anything larger.
+    Window mechanics (carve, ring guard, grid chunking, interior paste)
+    live in ``pallas/windows.py``; the default 512+2*64 geometry fits the
+    VMEM budget (the 3-plane kernel at 768^2 measured 20 MB and the
+    2-plane at 640^2 18.6 MB on long grids — hence 2 planes + chunking).
+    64 px halo covers the corpus cell radii; the cleanup sweep handles
+    anything larger.
     """
     H, W = value.shape[-2], value.shape[-1]
     label_bits = 24
-    win = tile + 2 * halo
-    assert win % 8 == 0 and win % 128 == 0, (
-        f"window {win} must sit on the (8, 128) Pallas tile grid")
     value = value.astype(jnp.float32)
     mask = mask.astype(bool)
     markers = jnp.where(mask, markers.astype(jnp.int32), 0)
@@ -335,60 +331,13 @@ def flood_tiled(value: jnp.ndarray, markers: jnp.ndarray, mask: jnp.ndarray,
     qs = jnp.where(mask, q << label_bits, sentinel)
     key0 = jnp.where(markers > 0, qs | markers, _BIG_KEY)
 
-    gy, gx = -(-H // tile), -(-W // tile)
-    Hp, Wp = gy * tile + 2 * halo, gx * tile + 2 * halo
-    pads = ((halo, Hp - H - halo), (halo, Wp - W - halo))
-    qsp = jnp.pad(qs, pads, constant_values=sentinel)
-    kyp = jnp.pad(key0, pads, constant_values=_BIG_KEY)
+    from microbeseg_tpu.ops.pallas.windows import window_apply
 
-    starts = jnp.asarray([(i * tile, j * tile)
-                          for i in range(gy) for j in range(gx)], jnp.int32)
-
-    def carve(x):
-        def body(_, s):
-            return None, jax.lax.dynamic_slice(x, (s[0], s[1]), (win, win))
-        return jax.lax.scan(body, None, starts)[1]
-
-    # ring guard (kernel contract): the outermost window ring is halo or
-    # frame padding, so marking it inactive costs <1 px of effective halo
-    # and lets the kernel shift by pure wraparound rolls
-    tq = carve(qsp)
-    tq = tq.at[:, 0, :].set(sentinel).at[:, -1, :].set(sentinel)
-    tq = tq.at[:, :, 0].set(sentinel).at[:, :, -1].set(sentinel)
-    tk = carve(kyp)
-
-    # Mosaic's scoped-VMEM accounting grows with pallas grid length (the
-    # 640^2-window kernel compiles at grid 16 but reports 18.6 MB at grid
-    # 64), so long window batches run as lax.map over <=16-window chunks —
-    # each chunk is one grid-16 pallas_call instance
-    T = tq.shape[0]
-    CHUNK = 16
-    if T <= CHUNK:
-        tiles = _flood_packed(tq, tk, n_levels, label_bits=label_bits,
-                              interpret=interpret)
-    else:
-        padT = (-T) % CHUNK
-        if padT:
-            tq = jnp.concatenate(
-                [tq, jnp.full((padT, win, win), sentinel, jnp.int32)])
-            tk = jnp.concatenate(
-                [tk, jnp.full((padT, win, win), _BIG_KEY, jnp.int32)])
-        tiles = jax.lax.map(
-            lambda c: _flood_packed(c[0], c[1], n_levels,
-                                    label_bits=label_bits,
-                                    interpret=interpret),
-            (tq.reshape(-1, CHUNK, win, win), tk.reshape(-1, CHUNK, win, win)),
-        ).reshape(-1, win, win)[:T]
-
-    def paste(out, xs):
-        s, t = xs
-        inner = jax.lax.dynamic_slice(t, (halo, halo), (tile, tile))
-        return jax.lax.dynamic_update_slice(
-            out, inner, (s[0] + halo, s[1] + halo)), None
-
-    out, _ = jax.lax.scan(paste, jnp.zeros((Hp, Wp), jnp.int32),
-                          (starts, tiles))
-    labels = jnp.where(mask, out[halo:halo + H, halo:halo + W], 0)
+    out = window_apply(
+        lambda tq, tk: _flood_packed(tq, tk, n_levels, label_bits=label_bits,
+                                     interpret=interpret),
+        (qs, key0), (sentinel, _BIG_KEY), tile=tile, halo=halo)
+    labels = jnp.where(mask, out, 0)
 
     # fixed-point cleanup for basins reaching beyond the halo
     from microbeseg_tpu.ops.watershed import _SHIFTS_4, _flood_step

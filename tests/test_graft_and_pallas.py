@@ -151,6 +151,107 @@ class TestFloodTiled:
         assert got == set(np.unique(shifted)) - {0}
 
 
+class TestPropagateWarmstarts:
+    """Windowed VMEM warm starts for CC / rank flooding (pallas/propagate).
+
+    Contract: the warm start is a valid INTERMEDIATE state of the global
+    monotone max-propagation (init <= warm <= unique fixed point), so the
+    caller's XLA loop always finishes to the exact same answer."""
+
+    @staticmethod
+    def _seed_field(rng, size=256):
+        seeds = np.zeros((size, size), bool)
+        for _ in range(60):
+            cy, cx = rng.integers(4, size - 4, 2)
+            r = int(rng.integers(1, 5))
+            seeds[cy - r:cy + r + 1, cx - r:cx + r + 1] = True
+        # one snaking component longer than any window halo
+        for i in range(200):
+            seeds[10 + i % 3, 10 + i] = True
+        return seeds
+
+    def _cc_fixed_point(self, seeds):
+        """Numpy oracle: 8-connected neighbor-max to the fixed point."""
+        from scipy.ndimage import maximum_filter
+        idx = (np.arange(seeds.size, dtype=np.int64) + 1).reshape(seeds.shape)
+        lab = np.where(seeds, idx, 0)
+        while True:
+            new = np.where(seeds, maximum_filter(lab, size=3), 0)
+            if (new == lab).all():
+                return lab
+            lab = new
+
+    def test_cc_warmstart_is_valid_intermediate_state(self, rng):
+        import jax.numpy as jnp
+        from microbeseg_tpu.ops.pallas.propagate import cc_warmstart
+
+        seeds = self._seed_field(rng)
+        idx = (np.arange(seeds.size, dtype=np.int32) + 1).reshape(seeds.shape)
+        labels0 = np.where(seeds, idx, 0).astype(np.int32)
+        warm = np.asarray(cc_warmstart(jnp.asarray(labels0),
+                                       tile=64, halo=32, interpret=True))
+        fixed = self._cc_fixed_point(seeds)
+        assert (warm >= labels0).all() and (warm <= fixed).all()
+        # continuing the global iteration from the warm state reaches the
+        # same fixed point (confluence of monotone max-propagation)
+        from scipy.ndimage import maximum_filter
+        lab = warm.astype(np.int64)
+        for _ in range(1000):
+            new = np.where(seeds, maximum_filter(lab, size=3), 0)
+            if (new == lab).all():
+                break
+            lab = new
+        np.testing.assert_array_equal(lab, fixed)
+
+    def test_rank_warmstart_is_valid_intermediate_state(self, rng):
+        import jax.numpy as jnp
+        from microbeseg_tpu.ops.pallas.propagate import rank_warmstart
+
+        seeds = self._seed_field(rng)
+        fixed_cc = self._cc_fixed_point(seeds).astype(np.int32)
+        idx = (np.arange(seeds.size, dtype=np.int32) + 1).reshape(seeds.shape)
+        roots = (fixed_cc == idx) & seeds
+        seq = np.cumsum(roots.reshape(-1).astype(np.int32)).reshape(
+            seeds.shape)
+        rank0 = np.where(roots, seq, 0).astype(np.int32)
+        warm = np.asarray(rank_warmstart(jnp.asarray(fixed_cc),
+                                         jnp.asarray(rank0),
+                                         tile=64, halo=32, interpret=True))
+        # fixed point: every component pixel carries its root's rank
+        from scipy.ndimage import maximum_filter
+        rank = rank0.copy()
+        while True:
+            new = np.where(seeds, maximum_filter(rank, size=3), 0)
+            if (new == rank).all():
+                break
+            rank = new
+        assert (warm >= rank0).all() and (warm <= rank).all()
+        # ungated windowed spread must not leak ranks across components
+        for k in np.unique(fixed_cc)[1:]:
+            vals = set(np.unique(warm[fixed_cc == k])) - {0}
+            root_rank = rank[fixed_cc == k].max()
+            assert vals <= {0, root_rank} or vals <= {root_rank}
+
+    def test_sequentialize_matches_small_path_on_big_frame(self, rng):
+        """End-to-end: sequentialize_components on a 2500^2-class frame
+        (above the warm-start threshold) still equals the plain path.  On
+        the CPU test backend the warm start is gated off, so this guards
+        the gating logic itself."""
+        import jax.numpy as jnp
+        from microbeseg_tpu.ops.cc import (connected_components,
+                                           sequentialize_components)
+
+        seeds = np.zeros((2304, 128), bool)  # tall frame > 2048 on one side
+        for _ in range(40):
+            cy = int(rng.integers(4, 2300))
+            cx = int(rng.integers(4, 124))
+            seeds[cy - 2:cy + 3, cx - 2:cx + 3] = True
+        cc = connected_components(jnp.asarray(seeds))
+        rank = np.asarray(sequentialize_components(cc))
+        n = len(np.unique(rank)) - 1
+        assert rank.max() == n  # ranks are 1..n
+
+
 class TestGraftEntry:
     def test_entry_shapes(self):
         import jax
