@@ -244,7 +244,14 @@ def boundary_postprocessing(prediction: jnp.ndarray,
     seeds = _prune_small_seeds(seeds_bin, min_area_floor=4.0, rel_mean=0.0,
                                max_seeds=max_seeds)
 
-    labels = watershed(-mask.astype(jnp.float32), seeds, mask, n_levels=2)
+    # same flood dispatch as the distance method: Pallas in-VMEM kernel on
+    # TPU-class backends (tiled beyond the VMEM side), XLA flood otherwise
+    if max_seeds < (1 << 24) - 1 and jax.default_backend() != "cpu":
+        from microbeseg_tpu.ops.pallas.flood import flood_or_fallback
+        labels = flood_or_fallback(-mask.astype(jnp.float32), seeds, mask,
+                                   n_levels=2, max_label=max_seeds)
+    else:
+        labels = watershed(-mask.astype(jnp.float32), seeds, mask, n_levels=2)
     return labels.astype(jnp.uint16)
 
 
