@@ -531,6 +531,26 @@ class TestShardedEngine:
             frames[3].max() - frames[3].min())
         np.testing.assert_allclose(cell[3], x01, atol=1e-4)
 
+    def test_mesh_sharded_tiled_inference_matches_single_device(self, rng):
+        """The tiled path on a mesh: tiles ride the mesh-sharded batch axis
+        through the forward (the spatial analog of sequence parallelism —
+        SURVEY §5.7), and the result must be identical to the unsharded
+        tiled engine."""
+        from microbeseg_tpu.parallel.mesh import get_mesh
+
+        frames = _frames_from_blobs(rng, n=2, shape=(100, 120))
+        cfg = InferConfig(use_tiling=True, tile_size=64, tile_overlap=16,
+                          batch_size=8)
+        single = InferenceEngine(AnalyticModel(), {}, "distance", cfg=cfg)
+        sharded = InferenceEngine(AnalyticModel(), {}, "distance", cfg=cfg,
+                                  mesh=get_mesh(8))
+        b1, c1 = single.predict_raw(frames)
+        b8, c8 = sharded.predict_raw(frames)
+        np.testing.assert_allclose(c8, c1, atol=1e-6)
+        m1 = single.segment(frames)
+        m8 = sharded.segment(frames)
+        np.testing.assert_array_equal(m8, m1)
+
     def test_mesh_batch_always_divisible(self, rng):
         """Sharded jits require the chunk batch to divide by the mesh size;
         _device_batch must scale its per-chip cap by the device count (a
