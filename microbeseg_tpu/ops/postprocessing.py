@@ -36,62 +36,27 @@ def _onehot_chunk(cap: int) -> int:
     return max(512, _ONEHOT_ELEMS // (cap + 1))
 
 
-_RADIX_LO = 256  # low-radix width: one_hot rows stay bf16-exact (0/1)
-
-
 def _prune_radix(rank: jnp.ndarray, cap: int, min_area_floor: float,
                  rel_mean: float) -> jnp.ndarray:
     """Area histogram + compacting remap for large id capacities, MXU-only.
 
-    Decomposes id = hi * 256 + lo.  The (cap+1)-bin histogram becomes
-    ``areas[hi, lo] = oh_lo^T @ oh_hi`` and the remap-table lookup becomes
-    ``out = rowsum((oh_hi @ table) * oh_lo)`` — two pixel-chunked matmul
-    scans with O(pixels * (256 + cap/256)) one-hot construction, replacing
-    per-element scatter-add/gather traffic (~0.4 ms per 65K elements on
-    this hardware, scripts/microbench_gather.py).  All selections are
-    exact: one-hot rows are 0/1, per-pixel products pick a single table
-    entry, and new ids (< 2^24) are exact in f32.
+    Built on ``ops/radix.py`` (id = hi*256 + lo decomposition: histogram
+    and table lookup as pixel-chunked matmuls; replaced per-element
+    scatter-add/gather traffic measured at ~66 ms/2048^2, ~280 ms/4096^2).
+    All selections are exact: one-hot rows are 0/1, per-pixel products
+    pick a single table entry, and new ids (< 2^24) are exact in f32.
     """
-    n_hi = -(-(cap + 1) // _RADIX_LO)
-    flat = rank.reshape(-1)
-    n_pix = flat.size
-    # chunk budget: the bf16 one-hot intermediates stay ~64 MB
-    chunk = max(4096, min((32 * 1024 * 1024) // (_RADIX_LO + n_hi), n_pix))
-    pad = (-n_pix) % chunk
-    chunks = jnp.pad(flat, (0, pad)).reshape(-1, chunk)  # pad lands in id 0
+    from microbeseg_tpu.ops.radix import radix_histogram, radix_lookup
 
-    def onehots(c):
-        oh_lo = jax.nn.one_hot(c & (_RADIX_LO - 1), _RADIX_LO,
-                               dtype=jnp.bfloat16)
-        oh_hi = jax.nn.one_hot(c >> 8, n_hi, dtype=jnp.bfloat16)
-        return oh_lo, oh_hi
-
-    def hist_body(acc, c):
-        oh_lo, oh_hi = onehots(c)
-        return acc + jnp.einsum("pl,ph->hl", oh_lo, oh_hi,
-                                preferred_element_type=jnp.float32), None
-
-    hist, _ = jax.lax.scan(
-        hist_body, jnp.zeros((n_hi, _RADIX_LO), jnp.float32), chunks)
-    areas = hist.reshape(-1)  # index hi*256+lo == id
+    areas = radix_histogram(rank, cap)
     areas = areas.at[0].set(0.0)
     n = jnp.sum(areas > 0)
     mean_area = jnp.sum(areas) / jnp.maximum(n, 1)
     min_area = jnp.where(n > 0, rel_mean * mean_area, 0.0)
     min_area = jnp.maximum(min_area, min_area_floor)
-    kept = areas > min_area  # ids beyond cap have zero area -> never kept
-    table = (jnp.cumsum(kept.astype(jnp.int32)) * kept).astype(
-        jnp.float32).reshape(n_hi, _RADIX_LO)
-
-    def remap_body(_, c):
-        oh_lo, oh_hi = onehots(c)
-        rows = jnp.einsum("ph,hl->pl", oh_hi, table,
-                          preferred_element_type=jnp.float32)
-        return None, jnp.einsum("pl,pl->p", rows, oh_lo.astype(jnp.float32),
-                                preferred_element_type=jnp.float32)
-
-    _, out = jax.lax.scan(remap_body, None, chunks)
-    return out.reshape(-1)[:n_pix].astype(jnp.int32).reshape(rank.shape)
+    kept = areas > min_area
+    table = (jnp.cumsum(kept.astype(jnp.int32)) * kept).astype(jnp.float32)
+    return radix_lookup(rank, table).astype(jnp.int32)
 
 
 def _prune_small_seeds(seeds_bin: jnp.ndarray, min_area_floor: float,

@@ -148,6 +148,43 @@ class TestRegionprops:
                                        o["equivalent_diameter"], rtol=1e-5)
 
 
+class TestRegionpropsRadix:
+    def test_radix_path_matches_segment_sum_path(self, rng, monkeypatch):
+        """Frames beyond _RADIX_PIXELS compute the six per-id reductions +
+        centroid lookup via ops/radix.py MXU matmuls (measured 279 -> 72
+        ms/frame at 2048^2 cap 4096 on chip); results must match the
+        segment_sum path to summation-order rounding."""
+        import sys
+
+        import jax.numpy as jnp
+
+        rp = sys.modules["microbeseg_tpu.ops.regionprops"]
+        S = 1152  # 1.3M px > the 2^20 gate
+        labels = np.zeros((S, S), np.int32)
+        k = 1
+        for _ in range(300):
+            cy, cx = rng.integers(6, S - 6, 2)
+            r = int(rng.integers(2, 6))
+            labels[cy - r:cy + r + 1, cx - r:cx + r + 1] = k
+            k += 1
+        ids = np.unique(labels)
+        remap = np.zeros(ids.max() + 1, np.int64)
+        remap[ids] = np.arange(len(ids))
+        labels = remap[labels].astype(np.int32)
+
+        radix = rp.regionprops(jnp.asarray(labels), max_labels=512)
+        monkeypatch.setattr(rp, "_RADIX_PIXELS", 1 << 30)
+        rp.regionprops.clear_cache()
+        try:
+            seg = rp.regionprops(jnp.asarray(labels), max_labels=512)
+        finally:
+            rp.regionprops.clear_cache()  # drop the monkeypatched trace
+        for f in radix._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(radix, f)), np.asarray(getattr(seg, f)),
+                atol=1e-3, rtol=1e-5, err_msg=f)
+
+
 class TestRegionpropsPrecision:
     def test_axes_stable_at_far_coordinates(self):
         """Central moments must not cancel catastrophically at large frame
