@@ -367,11 +367,16 @@ def flood_or_fallback(value, markers, mask, n_levels: int = 128,
     into the level bits and corrupt BOTH fields silently, so oversized
     configurations route to the XLA flood instead."""
     H, W = value.shape[-2], value.shape[-1]
-    if max(H, W) <= MAX_VMEM_SIDE:
-        bits = 12 if max_label < (1 << 12) else 24
-        if max_label < (1 << bits) - 1 and n_levels <= 128:
+    if max(H, W) <= MAX_VMEM_SIDE and n_levels <= 128:
+        # 12 bits: every key <= (127<<12)|4095 is far below _BIG_KEY, so
+        # the full 4096-label range is safe.  24 bits: the (127<<24)|
+        # 0xFFFFFF corner EQUALS _BIG_KEY, hence the -1 there only.
+        if max_label < (1 << 12):
             return flood_pallas(value, markers, mask, n_levels=n_levels,
-                                label_bits=bits)
+                                label_bits=12)
+        if max_label < (1 << 24) - 1:
+            return flood_pallas(value, markers, mask, n_levels=n_levels,
+                                label_bits=24)
     elif max_label < (1 << 24) - 1 and n_levels <= 128:
         return flood_tiled(value, markers, mask, n_levels=n_levels)
     from microbeseg_tpu.ops.watershed import watershed
