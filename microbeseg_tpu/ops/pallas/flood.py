@@ -313,6 +313,9 @@ def flood_tiled(value: jnp.ndarray, markers: jnp.ndarray, mask: jnp.ndarray,
     """
     H, W = value.shape[-2], value.shape[-1]
     label_bits = 24
+    assert n_levels <= 128, (
+        f"24-bit packed labels leave 7 level bits: n_levels {n_levels} > 128"
+        " would overflow the int32 key")
     value = value.astype(jnp.float32)
     mask = mask.astype(bool)
     markers = jnp.where(mask, markers.astype(jnp.int32), 0)
