@@ -16,7 +16,8 @@ def main() -> int:
               "  python train_script.py --train_dir <trainset>\n"
               "  python infer_script_local.py -i <imgs> -m <model>\n"
               "  python infer_script.py --local_store <store> -m <model>\n"
-              "  python eval_script.py -d <trainset> -m <models...>")
+              "  python eval_script.py -d <trainset> -m <models...>\n"
+              "  python -m microbeseg_tpu.cli.serve -m <model> -p 8000")
         return 1
     from microbeseg_tpu.gui.app import run_gui
     return run_gui()
