@@ -53,6 +53,30 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def resolve_model_stems(models) -> list:
+    """Checkpoint-stem resolution shared by the inference CLIs and the
+    serving daemon: strip only a ``.ckpt`` suffix (any other dot belongs
+    to the run name, models/io.py stem contract) and require both the
+    checkpoint and its architecture sidecar."""
+    stems = []
+    for model in map(Path, models):
+        stem = model.with_suffix("") if model.suffix == ".ckpt" else model
+        if not (stem.parent / f"{stem.name}.ckpt").is_file():
+            raise FileNotFoundError(f"{stem}.ckpt not found!")
+        if not (stem.parent / f"{stem.name}.json").is_file():
+            raise FileNotFoundError(f"{stem}.json not found!")
+        stems.append(stem)
+    return stems
+
+
+def build_engine(models, cfg: InferConfig) -> InferenceEngine:
+    """One engine from one or several model paths (ensemble)."""
+    stems = resolve_model_stems(models)
+    if len(stems) == 1:
+        return InferenceEngine.from_checkpoint(stems[0], cfg=cfg)
+    return InferenceEngine.from_checkpoints(stems, cfg=cfg)
+
+
 def dispatch_shape(img: np.ndarray, channel: int):
     """Reference shape dispatch (infer_script_local.py:85-101):
     -> (T, H, W) stack or None if unsupported."""
@@ -79,16 +103,6 @@ def main(argv=None) -> int:
                    else Path(args.result_path))
     result_path.mkdir(parents=True, exist_ok=True)
 
-    stems = []
-    for model in map(Path, args.model):
-        # strip only the checkpoint suffix — load_model's stem contract
-        # (models/io.py); any other dot belongs to the run name (e.g. run.1)
-        stem = model.with_suffix("") if model.suffix == ".ckpt" else model
-        if not (stem.parent / f"{stem.name}.ckpt").is_file():
-            raise FileNotFoundError(f"{stem}.ckpt not found!")
-        if not (stem.parent / f"{stem.name}.json").is_file():
-            raise FileNotFoundError(f"{stem}.json not found!")
-        stems.append(stem)
     if len(args.thresholds) != 2:
         raise ValueError(f"{len(args.thresholds)} thresholds given, needed are 2")
 
@@ -96,9 +110,7 @@ def main(argv=None) -> int:
                       batch_size=args.batch_size, use_tiling=args.sliding_window,
                       tile_size=args.tile_size, tile_overlap=args.tile_overlap,
                       quantize=args.quantize, tta=args.tta)
-    engine = (InferenceEngine.from_checkpoint(stems[0], cfg=cfg)
-              if len(stems) == 1
-              else InferenceEngine.from_checkpoints(stems, cfg=cfg))
+    engine = build_engine(args.model, cfg)
 
     file_ids = sorted(imgs_path.glob("*.tif*"))
     if not file_ids:

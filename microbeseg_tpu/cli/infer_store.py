@@ -82,13 +82,8 @@ def main(argv=None) -> int:
 
     # model files checked BEFORE any credential prompt / server connection
     # (a typo'd --model must not cost a login round-trip)
-    stems = []
-    for model in map(Path, args.model):
-        stem = model.with_suffix("") if model.suffix == ".ckpt" else model
-        for suffix in (".ckpt", ".json"):
-            if not (stem.parent / f"{stem.name}{suffix}").is_file():
-                raise FileNotFoundError(f"{stem}{suffix} not found!")
-        stems.append(stem)
+    from microbeseg_tpu.cli.infer_local import resolve_model_stems
+    stems = resolve_model_stems(args.model)
 
     if args.local_store:
         from microbeseg_tpu.client.store import LocalStore
@@ -133,9 +128,8 @@ def _run(args, store, stems) -> int:
     cfg = InferConfig(th_cell=args.thresholds[0], th_seed=args.thresholds[1],
                       use_tiling=args.sliding_window, quantize=args.quantize,
                       tta=args.tta)
-    engine = (InferenceEngine.from_checkpoint(stems[0], cfg=cfg)
-              if len(stems) == 1
-              else InferenceEngine.from_checkpoints(stems, cfg=cfg))
+    from microbeseg_tpu.cli.infer_local import build_engine
+    engine = build_engine(stems, cfg)
     # the store's inference_model annotation names every ensemble member
     model_name = "+".join(s.name for s in stems)
     infer_dataset(store, image_ids, engine, model_name=model_name,

@@ -62,24 +62,16 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def build_engine(args) -> InferenceEngine:
-    from pathlib import Path
+def engine_from_args(args) -> InferenceEngine:
+    from microbeseg_tpu.cli.infer_local import build_engine
 
-    stems = []
-    for model in map(Path, args.model):
-        stem = model.with_suffix("") if model.suffix == ".ckpt" else model
-        if not (stem.parent / f"{stem.name}.ckpt").is_file():
-            raise FileNotFoundError(f"{stem}.ckpt not found!")
-        stems.append(stem)
     cfg = InferConfig(th_cell=args.thresholds[0], th_seed=args.thresholds[1],
                       batch_size=args.batch_size,
                       use_tiling=args.sliding_window,
                       tile_size=args.tile_size,
                       tile_overlap=args.tile_overlap,
                       quantize=args.quantize, tta=args.tta)
-    if len(stems) == 1:
-        return InferenceEngine.from_checkpoint(stems[0], cfg=cfg)
-    return InferenceEngine.from_checkpoints(stems, cfg=cfg)
+    return build_engine(args.model, cfg)
 
 
 def decode_payload(body: bytes, channel: int):
@@ -116,6 +108,11 @@ def encode_masks(masks: np.ndarray, fmt: str) -> tuple[bytes, str]:
 
 def make_handler(engine: InferenceEngine, model_info: dict):
     class Handler(BaseHTTPRequestHandler):
+        # bound socket reads: a client that connects and never sends a
+        # request would otherwise wedge the single-threaded daemon
+        # (BaseHTTPRequestHandler treats a timeout as connection close)
+        timeout = 120
+
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
@@ -143,7 +140,19 @@ def make_handler(engine: InferenceEngine, model_info: dict):
             def qf(name, default):
                 return float(q[name][0]) if name in q else default
 
+            fmt = q.get("format", ["npy"])[0]
+            if fmt == "tiff":
+                fmt = "tif"
+            if fmt not in ("npy", "tif"):
+                self._json(400, {"error": f"unknown format {fmt!r} "
+                                 "(use npy or tif)"})
+                return
+            # client errors (bad payload/params) -> 400; engine/device
+            # failures on a valid request -> 500, so retrying clients and
+            # monitoring see a server fault, not a rejected request
             try:
+                th_cell = qf("th_cell", engine.cfg.th_cell)
+                th_seed = qf("th_seed", engine.cfg.th_seed)
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length)
                 channel = int(q.get("channel", ["0"])[0])
@@ -151,15 +160,16 @@ def make_handler(engine: InferenceEngine, model_info: dict):
                 if stack is None:
                     self._json(400, {"error": "unsupported image shape"})
                     return
-                masks = engine.segment(
-                    stack,
-                    th_cell=qf("th_cell", engine.cfg.th_cell),
-                    th_seed=qf("th_seed", engine.cfg.th_seed))
-                masks = masks if masks.ndim == 3 else masks[None]
-                fmt = q.get("format", ["npy"])[0]
-                payload, ctype = encode_masks(masks, fmt)
-            except Exception as exc:  # surface the reason to the client
+            except Exception as exc:
                 self._json(400, {"error": str(exc)})
+                return
+            try:
+                masks = engine.segment(stack, th_cell=th_cell,
+                                       th_seed=th_seed)
+                masks = masks if masks.ndim == 3 else masks[None]
+                payload, ctype = encode_masks(masks, fmt)
+            except Exception as exc:
+                self._json(500, {"error": str(exc)})
                 return
             self.send_response(200)
             self.send_header("Content-Type", ctype)
@@ -183,7 +193,7 @@ def main(argv=None) -> int:
     if len(args.thresholds) != 2:
         raise ValueError(
             f"{len(args.thresholds)} thresholds given, needed are 2")
-    engine = build_engine(args)
+    engine = engine_from_args(args)
     info = {"model": [str(m) for m in args.model],
             "label_type": engine.label_type,
             "tta": args.tta, "tiling": args.sliding_window,

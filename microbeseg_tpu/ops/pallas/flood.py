@@ -84,25 +84,19 @@ def _key_step(key, qshift, active, label_mask):
 
 
 def _flood_kernel(n_levels: int, inner_steps: int, max_final_iters: int,
-                  label_bits: int, prequantized: bool,
+                  label_bits: int,
                   value_ref, markers_ref, mask_ref, out_ref):
     label_mask = (1 << label_bits) - 1
     value = value_ref[:]
     mask = mask_ref[:] > 0      # bool: inside the flood domain
     markers = jnp.where(mask, markers_ref[:], 0)
 
-    if prequantized:
-        # value already holds integer flood levels in [0, n_levels) —
-        # e.g. globally quantized by flood_tiled so every tile floods on
-        # the SAME level grid (a per-tile min/max would re-normalize)
-        q = jnp.clip(value.astype(jnp.int32), 0, n_levels - 1)
-    else:
-        masked_v = jnp.where(mask, value, _BIG)
-        vmin = jnp.min(masked_v)
-        vmax = jnp.max(jnp.where(mask, value, -_BIG))
-        span = jnp.maximum(vmax - vmin, 1e-20)
-        q = jnp.clip(((value - vmin) / span * (n_levels - 1)).astype(jnp.int32),
-                     0, n_levels - 1)
+    masked_v = jnp.where(mask, value, _BIG)
+    vmin = jnp.min(masked_v)
+    vmax = jnp.max(jnp.where(mask, value, -_BIG))
+    span = jnp.maximum(vmax - vmin, 1e-20)
+    q = jnp.clip(((value - vmin) / span * (n_levels - 1)).astype(jnp.int32),
+                 0, n_levels - 1)
     qshift = q << label_bits
 
     key = jnp.where(mask & (markers > 0), qshift | markers, _BIG_KEY)
@@ -131,20 +125,18 @@ def _flood_kernel(n_levels: int, inner_steps: int, max_final_iters: int,
 
 @partial(jax.jit, static_argnames=("n_levels", "inner_steps",
                                    "max_final_iters", "label_bits",
-                                   "prequantized", "interpret"))
+                                   "interpret"))
 def flood_pallas(value: jnp.ndarray, markers: jnp.ndarray,
                  mask: jnp.ndarray, n_levels: int = 128,
                  inner_steps: int = 2,
                  max_final_iters: int = None,
                  label_bits: int = _LABEL_BITS,
-                 prequantized: bool = False,
                  interpret: bool = False) -> jnp.ndarray:
     """Batched in-VMEM watershed flood.
 
     value (B, H, W) f32 (lower floods first), markers (B, H, W) int32,
-    mask (B, H, W) bool -> (B, H, W) int32 labels.  ``label_bits`` sets the
-    packed-key split (markers must be < 2**label_bits); ``prequantized``
-    means ``value`` already holds integer levels in [0, n_levels).
+    mask (B, H, W) bool -> (B, H, W) int32 labels.  ``label_bits`` sets
+    the packed-key split (markers must be < 2**label_bits).
     """
     assert label_bits + max(1, (n_levels - 1).bit_length()) <= 31, (
         f"packed key overflow: {label_bits} label bits x {n_levels} levels")
@@ -167,7 +159,7 @@ def flood_pallas(value: jnp.ndarray, markers: jnp.ndarray,
         # 4-connected steps from any seed unlabeled (watershed.py precedent)
         max_final_iters = H * W
     kernel = partial(_flood_kernel, n_levels, inner_steps, max_final_iters,
-                     label_bits, prequantized)
+                     label_bits)
     # one image per grid step, whole image as the VMEM block
     img_spec = pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -370,14 +362,14 @@ def flood_or_fallback(value, markers, mask, n_levels: int = 128,
     into the level bits and corrupt BOTH fields silently, so oversized
     configurations route to the XLA flood instead."""
     H, W = value.shape[-2], value.shape[-1]
-    if max(H, W) <= MAX_VMEM_SIDE and n_levels <= 128:
-        # 12 bits: every key <= (127<<12)|4095 is far below _BIG_KEY, so
-        # the full 4096-label range is safe.  24 bits: the (127<<24)|
-        # 0xFFFFFF corner EQUALS _BIG_KEY, hence the -1 there only.
-        if max_label < (1 << 12):
+    if max(H, W) <= MAX_VMEM_SIDE:
+        # 12 bits: keys up to (n_levels-1)<<12 | 4095 stay below _BIG_KEY
+        # for n_levels <= 2^19, the kernel's own packing bound.  24 bits:
+        # the (127<<24)|0xFFFFFF corner EQUALS _BIG_KEY, hence the -1.
+        if max_label < (1 << 12) and n_levels <= (1 << 19):
             return flood_pallas(value, markers, mask, n_levels=n_levels,
                                 label_bits=12)
-        if max_label < (1 << 24) - 1:
+        if max_label < (1 << 24) - 1 and n_levels <= 128:
             return flood_pallas(value, markers, mask, n_levels=n_levels,
                                 label_bits=24)
     elif max_label < (1 << 24) - 1 and n_levels <= 128:

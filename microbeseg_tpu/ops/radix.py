@@ -97,6 +97,58 @@ def radix_histogram(flat: jnp.ndarray, cap: int,
     return tuple(h.reshape(n_ids)[:cap + 1] for h in hists)
 
 
+def radix_central_moments(flat: jnp.ndarray, cap: int,
+                          yy: jnp.ndarray, xx: jnp.ndarray,
+                          cy_tab: jnp.ndarray, cx_tab: jnp.ndarray):
+    """Fused centroid lookup + central second-moment histograms.
+
+    One chunked scan sharing a single one-hot construction per chunk:
+    per-pixel (cy, cx) table lookups, deviations dy/dx, and the three
+    weighted histograms sum(dy^2), sum(dx^2), sum(dx*dy) per id.  A
+    separate radix_lookup followed by radix_histogram builds the same
+    one-hots twice (one third of regionprops' large-frame radix work).
+
+    flat int32 ids in [0, cap]; slot ``cap`` must be a discard slot
+    (regionprops parks the background there) — scan padding lands in it.
+    Returns three (cap+1,) f32 sums.
+    """
+    flat = flat.reshape(-1).astype(jnp.int32)
+    n_hi = _n_hi(cap)
+    n_pix = flat.size
+    chunk = max(4096, min(_CHUNK_ELEMS // (RADIX_LO + n_hi), n_pix))
+    pad = (-n_pix) % chunk
+    ids = jnp.pad(flat, (0, pad), constant_values=cap).reshape(-1, chunk)
+    yyc = jnp.pad(yy.reshape(-1).astype(jnp.float32),
+                  (0, pad)).reshape(ids.shape)
+    xxc = jnp.pad(xx.reshape(-1).astype(jnp.float32),
+                  (0, pad)).reshape(ids.shape)
+    tabs = tuple(
+        jnp.pad(t.astype(jnp.float32),
+                (0, n_hi * RADIX_LO - (cap + 1))).reshape(n_hi, RADIX_LO)
+        for t in (cy_tab, cx_tab))
+
+    def body(acc, xs):
+        c, y, x = xs
+        oh_lo, oh_hi = _onehots(c, cap)
+        oh_lo = oh_lo.astype(jnp.float32)
+        cyx = [jnp.einsum("pl,pl->p",
+                          jnp.einsum("ph,hl->pl", oh_hi, t,
+                                     preferred_element_type=jnp.float32),
+                          oh_lo, preferred_element_type=jnp.float32)
+               for t in tabs]
+        dy = y - cyx[0]
+        dx = x - cyx[1]
+        new = tuple(
+            a + jnp.einsum("pl,ph->hl", oh_lo * w[:, None], oh_hi,
+                           preferred_element_type=jnp.float32)
+            for a, w in zip(acc, (dy * dy, dx * dx, dx * dy)))
+        return new, None
+
+    init = tuple(jnp.zeros((n_hi, RADIX_LO), jnp.float32) for _ in range(3))
+    sums, _ = jax.lax.scan(body, init, (ids, yyc, xxc))
+    return tuple(s.reshape(-1)[:cap + 1] for s in sums)
+
+
 def radix_lookup(flat: jnp.ndarray, tables) -> jnp.ndarray:
     """Per-element values of (cap+1,)-sized f32 ``tables`` at ``flat`` ids.
 

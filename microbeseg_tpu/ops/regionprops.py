@@ -47,7 +47,7 @@ def regionprops(labels: jnp.ndarray, max_labels: int = 256) -> RegionProps:
     radix = labels.size > _RADIX_PIXELS
 
     if radix:
-        from microbeseg_tpu.ops.radix import radix_histogram, radix_lookup
+        from microbeseg_tpu.ops.radix import radix_histogram
         area, sy, sx = radix_histogram(seg, max_labels, (ones, yy, xx))
         area, sy, sx = area[:max_labels], sy[:max_labels], sx[:max_labels]
     else:
@@ -71,11 +71,9 @@ def regionprops(labels: jnp.ndarray, max_labels: int = 256) -> RegionProps:
     cy_tab = jnp.concatenate([cy, jnp.zeros((1,), jnp.float32)])
     cx_tab = jnp.concatenate([cx, jnp.zeros((1,), jnp.float32)])
     if radix:
-        cys, cxs = radix_lookup(seg, (cy_tab, cx_tab))
-        dy = yy - cys
-        dx = xx - cxs
-        mu20, mu02, mu11 = radix_histogram(
-            seg, max_labels, (dy * dy, dx * dx, dx * dy))
+        from microbeseg_tpu.ops.radix import radix_central_moments
+        mu20, mu02, mu11 = radix_central_moments(
+            seg, max_labels, yy, xx, cy_tab, cx_tab)
         mu20 = mu20[:max_labels] / safe_area
         mu02 = mu02[:max_labels] / safe_area
         mu11 = mu11[:max_labels] / safe_area

@@ -157,4 +157,10 @@ if __name__ == "__main__":
         else:
             stages.append(a)
             i += 1
-    main(stages or ["full", "cc", "seq", "prune", "flood", "floodp"])
+    if not stages:
+        stages = ["full", "cc", "seq", "prune", "flood"]
+        # floodp stages the whole frame as ONE VMEM block and packs labels
+        # in 12 bits — only valid at crop-class sizes/caps; large frames
+        # use floodt (the tiled kernel) instead
+        stages += ["floodp"] if SIZE <= 768 and CAP <= 4095 else ["floodt"]
+    main(stages)
