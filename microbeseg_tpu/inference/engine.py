@@ -752,8 +752,10 @@ class InferenceEngine:
         T = frames.shape[0]
         masks = np.empty(frames.shape, np.uint16)
         bs = self._device_batch(frames.shape[1], frames.shape[2])
-        post = self._post_fn(self._seeds_cap(frames.shape[1],
-                                             frames.shape[2]))
+        from microbeseg_tpu.ops.pallas.flood import MAX_VMEM_SIDE
+        post = self._post_fn(
+            self._seeds_cap(frames.shape[1], frames.shape[2]),
+            big=max(frames.shape[1], frames.shape[2]) > MAX_VMEM_SIDE)
 
         def pad_tail(chunk):
             # keep every call at the full batch shape: one executable
@@ -794,20 +796,35 @@ class InferenceEngine:
                 fetch(masks[s:s + n], post(pad_tail(probs[s:s + bs])))
         return masks[0] if squeeze else masks
 
-    def _post_fn(self, max_seeds: int):
-        """Jitted, vmapped post-processing, cached per engine: thresholds ride
-        as traced scalars so repeated ``segment`` calls (any thresholds) hit
-        one executable per batch shape instead of re-tracing per call."""
-        key = (self.label_type, max_seeds)
+    def _post_fn(self, max_seeds: int, big: bool = False):
+        """Jitted post-processing, cached per engine: thresholds ride as
+        traced scalars so repeated ``segment`` calls (any thresholds) hit
+        one executable per batch shape instead of re-tracing per call.
+
+        ``big`` (frames beyond the VMEM side limit): the frame batch maps
+        SEQUENTIALLY (lax.map) instead of vmapping — the tiled flood /
+        warm-start Pallas kernels put their window batch on the pallas
+        grid, a vmapped batch axis multiplies into that grid, and Mosaic's
+        scoped-VMEM accounting rejects long grids (batch 4 x 16 windows
+        measured 18.6 MB and failed to compile; grid <= 16 fits).  Big
+        frames run at device batch 1-2 anyway, so sequencing costs nothing.
+        """
+        key = (self.label_type, max_seeds, big)
         fn = self._post_cache.get(key)
         if fn is None:
             if self.label_type == "distance":
-                fn = jax.jit(jax.vmap(
-                    partial(distance_postprocessing, max_seeds=max_seeds),
-                    in_axes=(0, 0, None, None)))
+                post = partial(distance_postprocessing, max_seeds=max_seeds)
+                if big:
+                    fn = jax.jit(lambda b, c, ts, tc: jax.lax.map(
+                        lambda bc: post(bc[0], bc[1], ts, tc), (b, c)))
+                else:
+                    fn = jax.jit(jax.vmap(post, in_axes=(0, 0, None, None)))
             else:
-                fn = jax.jit(jax.vmap(
-                    partial(boundary_postprocessing, max_seeds=max_seeds)))
+                post = partial(boundary_postprocessing, max_seeds=max_seeds)
+                if big:
+                    fn = jax.jit(lambda p: jax.lax.map(post, p))
+                else:
+                    fn = jax.jit(jax.vmap(post))
             self._post_cache[key] = fn
         return fn
 

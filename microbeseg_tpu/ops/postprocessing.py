@@ -227,9 +227,16 @@ def distance_postprocessing_grid(border_prediction: jnp.ndarray,
                                  n_levels: int = 128) -> jnp.ndarray:
     """Vmapped threshold grid: th_pairs (n, 2) of (th_cell, th_seed) ->
     (n, H, W) uint16 masks, all thresholds flooded in parallel on device
-    (replaces the 8 sequential CPU watersheds of reference eval.py:397-422)."""
-    fn = jax.vmap(
-        lambda th: distance_postprocessing(
-            border_prediction, cell_prediction, th[1], th[0],
-            max_seeds=max_seeds, n_levels=n_levels))
-    return fn(jnp.asarray(th_pairs))
+    (replaces the 8 sequential CPU watersheds of reference eval.py:397-422).
+
+    Frames beyond the VMEM side limit map sequentially instead: the tiled
+    flood / warm-start kernels put windows on the pallas grid and a
+    vmapped grid axis multiplies into it past Mosaic's scoped-VMEM
+    tolerance (engine._post_fn has the measurement)."""
+    post = lambda th: distance_postprocessing(  # noqa: E731
+        border_prediction, cell_prediction, th[1], th[0],
+        max_seeds=max_seeds, n_levels=n_levels)
+    from microbeseg_tpu.ops.pallas.flood import MAX_VMEM_SIDE
+    if max(cell_prediction.shape[-2:]) > MAX_VMEM_SIDE:
+        return jax.lax.map(post, jnp.asarray(th_pairs))
+    return jax.vmap(post)(jnp.asarray(th_pairs))
