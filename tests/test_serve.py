@@ -109,6 +109,45 @@ class TestServe:
         status, _, _ = _post(server, "/nope", b"")
         assert status == 404
 
+    def test_unknown_format_is_400(self, server, rng):
+        frames = _frames_from_blobs(rng, n=1, shape=(60, 70))
+        buf = io.BytesIO()
+        np.save(buf, frames, allow_pickle=False)
+        status, _, data = _post(server, "/segment?format=png", buf.getvalue())
+        assert status == 400 and "format" in json.loads(data)["error"]
+        # 'tiff' is accepted as an alias for 'tif'
+        status, headers, _ = _post(server, "/segment?format=tiff",
+                                   buf.getvalue())
+        assert status == 200 and headers["Content-Type"] == "image/tiff"
+
+    def test_engine_failure_is_500_not_400(self, rng):
+        """Server-side failures on a valid request must read as a server
+        fault (retryable), not a rejected request."""
+        from microbeseg_tpu.cli.serve import serve
+
+        class ExplodingEngine:
+            cfg = InferConfig()
+            label_type = "distance"
+
+            def segment(self, *a, **k):
+                raise RuntimeError("RESOURCE_EXHAUSTED: synthetic")
+
+        httpd = serve(ExplodingEngine(), {"model": ["x"]}, "127.0.0.1", 0)
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        try:
+            frames = _frames_from_blobs(rng, n=1, shape=(60, 70))
+            buf = io.BytesIO()
+            np.save(buf, frames, allow_pickle=False)
+            status, _, data = _post(httpd.server_address, "/segment",
+                                    buf.getvalue())
+            assert status == 500
+            assert "RESOURCE_EXHAUSTED" in json.loads(data)["error"]
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+            thread.join(timeout=5)
+
 
 class TestServeCli:
     def test_parser_defaults(self):
