@@ -135,6 +135,42 @@ class TestFloodTiled:
         agree = (out == direct).mean()
         assert agree > 0.995, f"tiled layouts disagree on {1-agree:.3%} px"
 
+    def test_rod_basins_crossing_windows(self, rng):
+        """Elongated capsule basins (longer than the halo) span window
+        seams; the tiled flood's interior paste + cleanup must still cover
+        every mask pixel and keep per-instance parity with the XLA flood."""
+        import jax.numpy as jnp
+        from microbeseg_tpu.ops.pallas.flood import flood_tiled
+        from microbeseg_tpu.ops.watershed import watershed
+
+        size = 256
+        yy, xx = np.mgrid[0:size, 0:size]
+        cell = np.zeros((size, size), np.float32)
+        for _ in range(10):
+            cy, cx = rng.integers(20, size - 20, 2)
+            ang = rng.uniform(0, np.pi)
+            L, r = 80, 7  # capsule much longer than the 32-px halo
+            dy, dx = np.sin(ang), np.cos(ang)
+            t = np.clip((yy - cy) * dy + (xx - cx) * dx, -L / 2, L / 2)
+            d = np.sqrt((yy - cy - t * dy) ** 2 + (xx - cx - t * dx) ** 2)
+            cell = np.maximum(cell, np.clip(1 - d / r, 0, 1))
+        from scipy import ndimage
+        seeds, _ = ndimage.label(cell > 0.6)
+        mask = cell > 0.1
+
+        ref = np.asarray(watershed(jnp.asarray(-cell),
+                                   jnp.asarray(seeds.astype(np.int32)),
+                                   jnp.asarray(mask), n_levels=128))
+        out = np.asarray(flood_tiled(jnp.asarray(-cell),
+                                     jnp.asarray(seeds.astype(np.int32)),
+                                     jnp.asarray(mask), n_levels=128,
+                                     tile=64, halo=32, interpret=True))
+        assert np.array_equal(out > 0, ref > 0)  # full coverage
+        for k in range(1, seeds.max() + 1):
+            a, b = out == k, ref == k
+            iou = (a & b).sum() / max((a | b).sum(), 1)
+            assert iou >= 0.99, f"rod {k}: IoU {iou}"
+
     def test_beyond_12bit_labels(self, rng):
         """The tiled path carries 24-bit labels: ids above 4095 must come
         through unscathed (the 12-bit crop kernel would corrupt them)."""
