@@ -102,6 +102,37 @@ class TestChunkedSeedPrune:
         assert masks_iou(ours, ref) > 0.99
 
 
+class TestGridSequencingOnBigFrames:
+    def test_grid_map_branch_matches_per_threshold_calls(self, rng):
+        """Frames beyond the VMEM side limit run the threshold grid via
+        lax.map (a vmapped axis would multiply into the tiled flood's
+        pallas grid past Mosaic's scoped-VMEM tolerance); results must
+        equal per-threshold direct calls.  A narrow 800-px frame keeps
+        the check cheap while triggering the big-frame branch."""
+        import jax.numpy as jnp
+
+        from microbeseg_tpu.ops.postprocessing import (
+            distance_postprocessing, distance_postprocessing_grid)
+
+        H, W = 800, 64  # max side > 768
+        cell = np.zeros((H, W), np.float32)
+        yy, xx = np.mgrid[0:H, 0:W]
+        for _ in range(20):
+            cy, cx = rng.integers(10, H - 10), rng.integers(10, W - 10)
+            d = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+            cell = np.maximum(cell, np.clip(1 - d / 7.0, 0, 1))
+        border = np.clip(cell - np.roll(cell, 2, axis=0), 0, 0.3)
+        ths = np.array([[0.05, 0.35], [0.10, 0.45], [0.125, 0.45]],
+                       np.float32)
+        grid = np.asarray(distance_postprocessing_grid(
+            jnp.asarray(border), jnp.asarray(cell), ths, max_seeds=512))
+        for i, (tc, ts) in enumerate(ths):
+            direct = np.asarray(distance_postprocessing(
+                jnp.asarray(border), jnp.asarray(cell), ts, tc,
+                max_seeds=512))
+            np.testing.assert_array_equal(grid[i], direct)
+
+
 class TestRadixPrune:
     def test_radix_path_matches_small_cap_path(self, rng):
         """The large-cap radix-matmul prune (cap > 256) must be bit-identical
