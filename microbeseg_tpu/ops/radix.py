@@ -15,6 +15,16 @@ a segment_sum (summation ORDER differs — bit-identical only for integer
 weights).  Construction costs O(P * (256 + cap/256)) compares instead of
 O(P * cap), and the chunked scan bounds the one-hot intermediates.
 
+EVERY einsum here carries ``precision="highest"`` and it is
+load-bearing: XLA's DEFAULT TPU matmul precision truncates f32 operands
+to bf16 on the MXU, which quantizes table values and weights above 256
+(8-bit mantissa) — remap ids collided (257 -> 256) and produced merged
+instances with gapped label ranges, and coordinate weights lost ~0.4%.
+Chip-verified: default precision errs up to 8 on a 4096-entry integer
+lookup, highest is exact.  CPU tests CANNOT catch this class (CPU
+einsums are true f32) — regressions here need the on-chip probes in
+scripts/ (see CLAUDE.md).
+
 Callers: ``ops/postprocessing._prune_small_seeds`` (large-cap prune),
 ``ops/regionprops`` (large-frame moments).  Reference context:
 skimage.measure.regionprops / np.bincount uses in
@@ -68,7 +78,7 @@ def radix_histogram(flat: jnp.ndarray, cap: int,
         def hist_body(acc, c):
             oh_lo, oh_hi = _onehots(c, cap)
             return acc + jnp.einsum("pl,ph->hl", oh_lo, oh_hi,
-                                    preferred_element_type=jnp.float32), None
+                                    precision="highest", preferred_element_type=jnp.float32), None
 
         hist, _ = jax.lax.scan(
             hist_body, jnp.zeros((n_hi, RADIX_LO), jnp.float32), chunks)
@@ -87,7 +97,7 @@ def radix_histogram(flat: jnp.ndarray, cap: int,
         oh_lo = oh_lo.astype(jnp.float32)
         new = tuple(
             a + jnp.einsum("pl,ph->hl", oh_lo * w[:, None], oh_hi,
-                           preferred_element_type=jnp.float32)
+                           precision="highest", preferred_element_type=jnp.float32)
             for a, w in zip(acc, xs[1:]))
         return new, None
 
@@ -133,14 +143,14 @@ def radix_central_moments(flat: jnp.ndarray, cap: int,
         oh_lo = oh_lo.astype(jnp.float32)
         cyx = [jnp.einsum("pl,pl->p",
                           jnp.einsum("ph,hl->pl", oh_hi, t,
-                                     preferred_element_type=jnp.float32),
-                          oh_lo, preferred_element_type=jnp.float32)
+                                     precision="highest", preferred_element_type=jnp.float32),
+                          oh_lo, precision="highest", preferred_element_type=jnp.float32)
                for t in tabs]
         dy = y - cyx[0]
         dx = x - cyx[1]
         new = tuple(
             a + jnp.einsum("pl,ph->hl", oh_lo * w[:, None], oh_hi,
-                           preferred_element_type=jnp.float32)
+                           precision="highest", preferred_element_type=jnp.float32)
             for a, w in zip(acc, (dy * dy, dx * dx, dx * dy)))
         return new, None
 
@@ -175,8 +185,8 @@ def radix_lookup(flat: jnp.ndarray, tables) -> jnp.ndarray:
         outs = tuple(
             jnp.einsum("pl,pl->p",
                        jnp.einsum("ph,hl->pl", oh_hi, t,
-                                  preferred_element_type=jnp.float32),
-                       oh_lo, preferred_element_type=jnp.float32)
+                                  precision="highest", preferred_element_type=jnp.float32),
+                       oh_lo, precision="highest", preferred_element_type=jnp.float32)
             for t in pads)
         return None, outs
 
