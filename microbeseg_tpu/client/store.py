@@ -15,6 +15,7 @@ explicit ``ImageStore`` interface with two implementations:
 from __future__ import annotations
 
 import json
+import threading
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -49,6 +50,19 @@ class RoiPolygon:
 
 class ImageStore:
     """Interface — see LocalStore for the reference implementation."""
+
+    @property
+    def lock(self) -> "threading.RLock":
+        """Serializes store access across threads.  One BlitzGateway/Ice
+        connection is not thread-safe, so any worker that talks to the store
+        from more than one thread (e.g. the pipelined ``infer_dataset``) must
+        hold this lock around every store call.  Created lazily; the first
+        access must happen before helper threads start (workers do this by
+        touching the store on the main thread first)."""
+        lk = self.__dict__.get("_lock")
+        if lk is None:
+            lk = self.__dict__["_lock"] = threading.RLock()
+        return lk
 
     def list_images(self, dataset_id: int) -> List[ImageRef]:
         raise NotImplementedError

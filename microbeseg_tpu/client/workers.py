@@ -585,57 +585,111 @@ def infer_dataset(store: ImageStore, image_ids: Sequence[int], engine,
                   channel: int = 0,
                   text_output: Callable[[str], None] = _noop,
                   progress: Callable[[int], None] = _noop,
-                  should_stop: Callable[[], bool] = lambda: False) -> None:
+                  should_stop: Callable[[], bool] = lambda: False,
+                  pipeline: bool = True) -> None:
     """Segment stored images on one channel: skip z-stacks / missing channel
     (reference infer.py:171) / no write permission (:157) / already-processed
     (map annotations 'inference_model'/'inference_date' or an existing local
     mask file, :179-185, :211-215); overwrite deletes old ROIs plus label-tool
     and analysis attachments (:186-205); frames are batched through the engine
     (reference loops batch=1); results go back as polygon ROIs + annotations,
-    or local per-channel mask TIFFs (:320-322)."""
-    for i, iid in enumerate(image_ids):
-        if should_stop():
-            text_output("Stop inference due to user interaction.")
-            return
-        ref = store.get_image(iid)
-        if upload and not store.can_annotate(iid):
-            text_output(f"Skip {ref.name} (no write permission)")
-            continue
-        if ref.size_z > 1:
-            text_output(f"Skip {ref.name} (is z-stack)")
-            continue
-        if channel + 1 > ref.size_c:
-            text_output(f"Skip {ref.name} (not enough channels found)")
-            continue
-        stem = Path(ref.name).stem or str(iid)
-        mask_path = (Path(result_dir) / f"mask_{stem}_channel{channel}.tif"
-                     if result_dir is not None else None)
-        if upload:
-            meta = store.get_map_annotation(iid)
-            processed = bool(meta.get("inference_model"))
-        else:
-            processed = mask_path is not None and mask_path.is_file()
-        if processed and not overwrite:
-            text_output(f"Skip {ref.name} (already processed and "
-                        "overwriting not enabled)")
-            continue
-        if overwrite and upload:
-            store.delete_polygons(iid)
-            store.delete_attachments(iid, namespace=ANALYSIS_NAMESPACE,
-                                     names=LABEL_TOOL_ATTACHMENTS)
-        frames = np.stack([store.get_plane(iid, 0, channel, t)
-                           for t in range(ref.size_t)])
-        masks = engine.segment(frames)
+    or local per-channel mask TIFFs (:320-322).
+
+    With ``pipeline=True`` the host-side result handling (contour tracing,
+    ROI upload, mask write) runs on one helper thread so it overlaps the NEXT
+    image's device compute — contour tracing is native code outside the GIL
+    and `engine.segment` blocks on the device tunnel, so the overlap is real.
+    The single worker keeps store mutations in image order, and every store
+    call on either thread holds ``store.lock`` (one OMERO connection is not
+    thread-safe).  Results and store state are identical to the serial path
+    (``pipeline=False``)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    lock = store.lock  # materialize on the main thread before workers start
+
+    def finish(i: int, iid: int, masks: np.ndarray,
+               mask_path: Optional[Path]) -> None:
         if masks.ndim == 2:
             masks = masks[None]
         if upload:
             rois = []
             for t in range(masks.shape[0]):
                 rois.extend(_mask_to_rois(masks[t], t=t))
-            store.add_polygons(iid, rois)
-            store.set_map_annotation(iid, {"inference_model": model_name,
-                                           "inference_date": timestamp()})
+            with lock:
+                store.add_polygons(iid, rois)
+                store.set_map_annotation(
+                    iid, {"inference_model": model_name,
+                          "inference_date": timestamp()})
         if mask_path is not None:
             mask_path.parent.mkdir(parents=True, exist_ok=True)
             imwrite(mask_path, np.squeeze(masks))
         progress(int(100 * (i + 1) / len(image_ids)))
+
+    pending: List = []
+
+    def drain(limit: int) -> None:
+        while len(pending) > limit:
+            pending.pop(0).result()  # re-raises the helper's exception
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        try:
+            for i, iid in enumerate(image_ids):
+                if should_stop():
+                    drain(0)
+                    text_output("Stop inference due to user interaction.")
+                    return
+                with lock:
+                    ref = store.get_image(iid)
+                    can = (not upload) or store.can_annotate(iid)
+                if upload and not can:
+                    text_output(f"Skip {ref.name} (no write permission)")
+                    continue
+                if ref.size_z > 1:
+                    text_output(f"Skip {ref.name} (is z-stack)")
+                    continue
+                if channel + 1 > ref.size_c:
+                    text_output(f"Skip {ref.name} (not enough channels found)")
+                    continue
+                stem = Path(ref.name).stem or str(iid)
+                mask_path = (Path(result_dir)
+                             / f"mask_{stem}_channel{channel}.tif"
+                             if result_dir is not None else None)
+                if upload:
+                    with lock:
+                        meta = store.get_map_annotation(iid)
+                    processed = bool(meta.get("inference_model"))
+                else:
+                    processed = mask_path is not None and mask_path.is_file()
+                if processed and not overwrite:
+                    text_output(f"Skip {ref.name} (already processed and "
+                                "overwriting not enabled)")
+                    continue
+                if overwrite and upload:
+                    with lock:
+                        store.delete_polygons(iid)
+                        store.delete_attachments(
+                            iid, namespace=ANALYSIS_NAMESPACE,
+                            names=LABEL_TOOL_ATTACHMENTS)
+                with lock:
+                    frames = np.stack([store.get_plane(iid, 0, channel, t)
+                                       for t in range(ref.size_t)])
+                masks = engine.segment(frames)
+                if pipeline:
+                    # ≤2 outstanding mask stacks bound host memory; drain
+                    # first so a helper failure stops the loop promptly
+                    drain(1)
+                    pending.append(pool.submit(finish, i, iid,
+                                               np.asarray(masks), mask_path))
+                else:
+                    finish(i, iid, np.asarray(masks), mask_path)
+            drain(0)  # success path: propagate any helper failure
+        finally:
+            # unwind path: wait for stragglers without masking the
+            # in-flight exception (drain(0) above already re-raised on
+            # the success path and left pending empty)
+            for f in pending:
+                try:
+                    f.result()
+                except Exception:
+                    pass
+            pending.clear()

@@ -527,6 +527,105 @@ class TestWorkersRoundtrip:
         polys = store.get_polygons(iid)
         assert len(polys) == 1  # old ROI replaced by the new square
 
+    def test_infer_pipelined_matches_serial(self, any_store, tmp_path, rng):
+        """pipeline=True (helper-thread result handling) must leave the store
+        and the mask files bit-identical to the serial path."""
+        store, _ = any_store
+
+        class DummyEngine:
+            def segment(self, frames):
+                m = np.zeros(frames.shape, np.uint16)
+                m[..., 5:15, 5:15] = 1
+                m[..., 20:30, 18:26] = 2
+                return m
+
+        results = {}
+        for mode in ("serial", "piped"):
+            rng2 = np.random.default_rng(7)
+            (tmp_path / mode).mkdir(exist_ok=True)
+            _, did, ids = self._store_with_trainset(store, tmp_path / mode,
+                                                    rng2, n=3)
+            for iid in ids:
+                store.delete_polygons(iid)
+                store.set_map_annotation(iid, {"inference_model": ""})
+            out = tmp_path / f"masks_{mode}"
+            infer_dataset(store, ids, DummyEngine(), model_name="m01",
+                          result_dir=out, pipeline=(mode == "piped"))
+            results[mode] = {
+                "polys": [[(p.t, p.z, p.points) for p in
+                           store.get_polygons(i)] for i in ids],
+                "model": [store.get_map_annotation(i)["inference_model"]
+                          for i in ids],
+                "masks": sorted((f.name, f.read_bytes())
+                                for f in out.glob("mask_*.tif")),
+            }
+        assert results["serial"] == results["piped"]
+
+    def test_infer_pipeline_overlaps_host_and_device(self, tmp_path, rng,
+                                                     monkeypatch):
+        """While the helper thread handles image 0's results (here: the mask
+        write, which runs without the store lock), the main thread must
+        already be running image 1's segment — coordinated via events so a
+        serialized implementation fails (times out) deterministically."""
+        import threading
+
+        import microbeseg_tpu.client.workers as wk
+
+        store = LocalStore(tmp_path / "store")
+        did = store.create_dataset("d")
+        ids = [store.upload_image(did, f"im{i}.tif",
+                                  rng.integers(0, 99, (16, 16))
+                                  .astype(np.uint16)) for i in range(2)]
+        second_segment_started = threading.Event()
+        overlapped = []
+        real_imwrite = wk.imwrite
+
+        def blocking_imwrite(path, arr):
+            # image 0's mask write waits until image 1's segment has started
+            overlapped.append(second_segment_started.wait(timeout=30))
+            return real_imwrite(path, arr)
+
+        monkeypatch.setattr(wk, "imwrite", blocking_imwrite)
+
+        class DummyEngine:
+            calls = 0
+
+            def segment(self, frames):
+                DummyEngine.calls += 1
+                if DummyEngine.calls >= 2:
+                    second_segment_started.set()
+                m = np.zeros(frames.shape, np.uint16)
+                m[..., 4:8, 4:8] = 1
+                return m
+
+        infer_dataset(store, ids, DummyEngine(), model_name="m",
+                      upload=False, result_dir=tmp_path / "masks",
+                      pipeline=True)
+        assert overlapped and overlapped[0]  # image 0's write saw the overlap
+        assert len(list((tmp_path / "masks").glob("mask_*.tif"))) == 2
+
+    def test_infer_pipeline_propagates_helper_errors(self, tmp_path, rng):
+        store = LocalStore(tmp_path / "store")
+        did = store.create_dataset("d")
+        ids = [store.upload_image(did, f"im{i}.tif",
+                                  rng.integers(0, 99, (16, 16))
+                                  .astype(np.uint16)) for i in range(3)]
+
+        def broken_add(iid, rois):
+            raise RuntimeError("upload failed")
+
+        store.add_polygons = broken_add
+
+        class DummyEngine:
+            def segment(self, frames):
+                m = np.zeros(frames.shape, np.uint16)
+                m[..., 4:8, 4:8] = 1
+                return m
+
+        with pytest.raises(RuntimeError, match="upload failed"):
+            infer_dataset(store, ids, DummyEngine(), model_name="m",
+                          pipeline=True)
+
     def test_rasterize_mask_rois_roundtrip(self, rng):
         mask = synthetic_blobs(rng, shape=(40, 40), n_blobs=3)
         rois = _mask_to_rois(mask)
