@@ -155,6 +155,19 @@ def mask_to_polygons(labels: np.ndarray,
     from scipy import ndimage
 
     labels = np.asarray(labels)
+    if not include_holes:
+        # native batch path: one C call traces every fragment of every
+        # instance (same polygon order/vertices as the loop below, which is
+        # ~0.4 ms/instance of interpreter overhead — tested identical)
+        from microbeseg_tpu.client.native import trace_all_native
+        res = trace_all_native(labels)
+        if res is not None:
+            xy, offsets, ids = res
+            batched: Dict[int, List[np.ndarray]] = {}
+            for p in range(len(ids)):
+                batched.setdefault(int(ids[p]), []).append(
+                    xy[offsets[p]:offsets[p + 1]])
+            return batched
     out: Dict[int, List[np.ndarray]] = {}
     # per-instance bounding boxes in ONE pass: a full-frame `labels == id`
     # scan per instance is O(instances * H * W) — ~10 s/frame at 2048^2 with
@@ -194,6 +207,27 @@ def polygons_to_roi_strings(polygons: Dict[int, List[np.ndarray]]) -> List[str]:
     """OMERO polygon ROI point strings: 'x1,y1 x2,y2 ...' per contour."""
     return [" ".join(f"{x},{y}" for x, y in poly)
             for contours in polygons.values() for poly in contours]
+
+
+def mask_to_roi_strings(labels: np.ndarray) -> List[str]:
+    """OMERO points strings for every fragment of every instance, in
+    mask_to_polygons order (ids ascending, fragments in raster order).
+    The all-native path (trace + ASCII serialization in C) skips both the
+    per-instance Python loop and the per-vertex f-string join — the two
+    dominant host costs of ROI upload at scale (docs/E2E_RESULTS.md)."""
+    from microbeseg_tpu.client.native import roi_strings_native, \
+        trace_all_native
+
+    res = trace_all_native(np.asarray(labels))
+    if res is not None:
+        xy, offsets, ids = res
+        strings = roi_strings_native(xy, offsets)
+        if strings is not None:
+            return strings
+        return [" ".join(f"{x},{y}" for x, y in
+                         xy[offsets[p]:offsets[p + 1]])
+                for p in range(len(ids))]
+    return polygons_to_roi_strings(mask_to_polygons(labels))
 
 
 def roi_string_to_polygon(points: str) -> np.ndarray:

@@ -59,6 +59,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint16), ctypes.c_int,
         ctypes.c_int]
+    lib.mbs_trace_all.restype = ctypes.c_int
+    lib.mbs_trace_all.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int]
+    lib.mbs_roi_strings.restype = ctypes.c_int64
+    lib.mbs_roi_strings.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64)]
     _lib = lib
     return _lib
 
@@ -83,6 +94,62 @@ def trace_boundary_native(labels: np.ndarray, inst_id: int) -> Optional[np.ndarr
         if max_pts >= 4 * H * W + 16:  # should never truncate beyond this
             return out[:(-n - 1)]
         max_pts *= 4
+
+
+def trace_all_native(labels: np.ndarray):
+    """Batched whole-frame tracing: returns (xy, offsets, ids) with xy a
+    concatenated (n_pts, 2) int64 (x, y) array, offsets (n_polys+1,) point
+    offsets and ids (n_polys,) instance ids — polygon order identical to the
+    Python per-instance/per-fragment loop.  None when no native library."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    labels32 = np.ascontiguousarray(labels, dtype=np.int32)
+    H, W = labels32.shape
+    max_pts = max(1 << 16, 8 * (H + W))
+    max_polys = 1 << 12
+    while True:
+        xy = np.empty((max_pts, 2), dtype=np.int64)
+        offsets = np.empty(max_polys + 1, dtype=np.int64)
+        ids = np.empty(max_polys, dtype=np.int32)
+        n = lib.mbs_trace_all(
+            labels32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), H, W,
+            xy.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), max_pts,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_polys)
+        if n >= 0:
+            return xy[:offsets[n]], offsets[:n + 1], ids[:n]
+        if n == -1:
+            max_pts *= 4
+        else:  # -2: polygon capacity
+            max_polys *= 4
+
+
+def roi_strings_native(xy: np.ndarray, offsets: np.ndarray):
+    """OMERO points strings ("x,y x,y ...") for trace_all_native output.
+    Returns a list of str (one per polygon) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_polys = len(offsets) - 1
+    if n_polys <= 0:
+        return []
+    xy64 = np.ascontiguousarray(xy, dtype=np.int64)
+    off64 = np.ascontiguousarray(offsets, dtype=np.int64)
+    # worst case ~21 bytes per "x,y" token + separator
+    cap = int(44 * max(off64[-1], 1) + 16)
+    buf = ctypes.create_string_buffer(cap)
+    str_offsets = np.empty(n_polys + 1, dtype=np.int64)
+    total = lib.mbs_roi_strings(
+        xy64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        off64.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n_polys,
+        buf, cap,
+        str_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if total < 0:
+        return None  # cannot happen with the bound above; fall back
+    raw = buf.raw
+    return [raw[str_offsets[p]:str_offsets[p + 1]].decode("ascii")
+            for p in range(n_polys)]
 
 
 def rasterize_polygon_native(poly_xy: np.ndarray,

@@ -25,7 +25,6 @@ import numpy as np
 import pandas as pd
 
 from microbeseg_tpu.client.contours import (
-    mask_to_polygons,
     polygon_to_mask,
     roi_string_to_polygon,
 )
@@ -71,9 +70,8 @@ def _rasterize_rois(polys: Sequence[RoiPolygon], t: int,
 
 
 def _mask_to_rois(mask: np.ndarray, t: int = 0, z: int = 0) -> List[RoiPolygon]:
-    return [RoiPolygon(t=t, z=z, points=" ".join(f"{x},{y}" for x, y in poly))
-            for contours in mask_to_polygons(mask).values()
-            for poly in contours]
+    from microbeseg_tpu.client.contours import mask_to_roi_strings
+    return [RoiPolygon(t=t, z=z, points=s) for s in mask_to_roi_strings(mask)]
 
 
 # ---------------------------------------------------------------------------

@@ -30,6 +30,50 @@ from tests.conftest import synthetic_blobs
 
 
 class TestContours:
+    def _python_polygons(self, mask, monkeypatch):
+        """mask_to_polygons forced down the per-instance Python loop."""
+        import microbeseg_tpu.client.native as native
+        monkeypatch.setattr(native, "trace_all_native", lambda labels: None)
+        return mask_to_polygons(mask)
+
+    def test_batched_native_trace_matches_python_loop(self, rng, monkeypatch):
+        from tests.conftest import synthetic_blobs
+        mask = synthetic_blobs(rng, shape=(96, 96), n_blobs=12)
+        # add a multi-fragment instance and an isolated pixel
+        mid = int(mask.max())
+        mask[2:5, 2:5] = mid + 1
+        mask[2:5, 90:93] = mid + 1
+        mask[94, 94] = mid + 2
+        expected = self._python_polygons(mask.copy(), monkeypatch)
+        monkeypatch.undo()
+        got = mask_to_polygons(mask)
+        assert list(got.keys()) == list(expected.keys())
+        for k in expected:
+            assert len(got[k]) == len(expected[k])
+            for a, b in zip(got[k], expected[k]):
+                np.testing.assert_array_equal(a, b)
+
+    def test_mask_to_roi_strings_matches_join(self, rng, monkeypatch):
+        from microbeseg_tpu.client.contours import (
+            mask_to_roi_strings,
+            polygons_to_roi_strings,
+        )
+        from tests.conftest import synthetic_blobs
+        mask = synthetic_blobs(rng, shape=(80, 80), n_blobs=9)
+        expected = polygons_to_roi_strings(
+            self._python_polygons(mask.copy(), monkeypatch))
+        monkeypatch.undo()
+        assert mask_to_roi_strings(mask) == expected
+
+    def test_batched_trace_annulus_outer_only(self):
+        # instances with holes: default path returns only the covering
+        # outer contour (reference covers-semantics) on both paths
+        yy, xx = np.mgrid[0:40, 0:40]
+        r2 = (yy - 20) ** 2 + (xx - 20) ** 2
+        ann = ((r2 <= 220) & (r2 >= 60)).astype(np.uint16)
+        polys = mask_to_polygons(ann)
+        assert len(polys[1]) == 1  # one outer contour, no hole contour
+
     def test_multi_fragment_instance(self):
         # one id split into two disconnected fragments -> two contours
         m = np.zeros((20, 20), np.uint16)
