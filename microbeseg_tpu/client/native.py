@@ -39,13 +39,29 @@ def get_lib() -> Optional[ctypes.CDLL]:
     _tried = True
     if os.environ.get("MICROBESEG_NO_NATIVE") == "1" or not _SRC.is_file():
         return None
+    rebuilt = False
     if not _LIB.is_file() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
         if not _build():
             return None
-    try:
-        lib = ctypes.CDLL(str(_LIB))
-    except OSError:
-        return None
+        rebuilt = True
+    for _attempt in range(2):
+        try:
+            _lib = _load_and_bind()
+            return _lib
+        except (OSError, AttributeError):
+            # A newer-mtime .so built from older source (copied artifact,
+            # clock skew) can load but lack symbols; rebuild once, then give
+            # up to the Python fallback.  (dlopen may hand back the
+            # already-loaded stale image — then the retry also fails and we
+            # correctly return None.)
+            if rebuilt or not _build():
+                return None
+            rebuilt = True
+    return None
+
+
+def _load_and_bind() -> ctypes.CDLL:
+    lib = ctypes.CDLL(str(_LIB))
     lib.mbs_trace_boundary.restype = ctypes.c_int
     lib.mbs_trace_boundary.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
@@ -70,8 +86,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int, ctypes.c_char_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64)]
-    _lib = lib
-    return _lib
+    return lib
 
 
 def trace_boundary_native(labels: np.ndarray, inst_id: int) -> Optional[np.ndarray]:

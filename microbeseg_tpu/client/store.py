@@ -25,6 +25,10 @@ import numpy as np
 
 from microbeseg_tpu.utils.tiff import imread_page, imwrite
 
+# Guards lazy per-store RLock creation so two threads racing the first
+# `store.lock` access cannot each mint a distinct lock.
+_LOCK_CREATION_GUARD = threading.Lock()
+
 ANALYSIS_NAMESPACE = "microbeseg.analysis.namespace"
 
 
@@ -56,12 +60,12 @@ class ImageStore:
         """Serializes store access across threads.  One BlitzGateway/Ice
         connection is not thread-safe, so any worker that talks to the store
         from more than one thread (e.g. the pipelined ``infer_dataset``) must
-        hold this lock around every store call.  Created lazily; the first
-        access must happen before helper threads start (workers do this by
-        touching the store on the main thread first)."""
+        hold this lock around every store call.  Lazily created under a
+        module-level guard so concurrent first accesses share one RLock."""
         lk = self.__dict__.get("_lock")
         if lk is None:
-            lk = self.__dict__["_lock"] = threading.RLock()
+            with _LOCK_CREATION_GUARD:
+                lk = self.__dict__.setdefault("_lock", threading.RLock())
         return lk
 
     def list_images(self, dataset_id: int) -> List[ImageRef]:

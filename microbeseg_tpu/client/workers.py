@@ -599,9 +599,18 @@ def infer_dataset(store: ImageStore, image_ids: Sequence[int], engine,
     and `engine.segment` blocks on the device tunnel, so the overlap is real.
     The single worker keeps store mutations in image order, and every store
     call on either thread holds ``store.lock`` (one OMERO connection is not
-    thread-safe).  Results and store state are identical to the serial path
-    (``pipeline=False``)."""
+    thread-safe).  Note ``progress`` (and nothing else) is invoked FROM the
+    helper thread when ``pipeline=True`` — pass a thread-safe callable (Qt
+    signal emits are).  Results and store state are identical to the serial
+    path (``pipeline=False``)."""
     from concurrent.futures import ThreadPoolExecutor
+
+    # Dedupe while preserving order: a repeated id (explicit --files plus a
+    # dataset expansion containing the same image) would otherwise race the
+    # pipelined finish() of its first occurrence — the 'processed' check and
+    # overwrite deletions could run before the first pass's ROIs/annotations
+    # commit, re-segmenting the image and double-uploading ROIs.
+    image_ids = list(dict.fromkeys(int(i) for i in image_ids))
 
     lock = store.lock  # materialize on the main thread before workers start
 

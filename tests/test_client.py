@@ -482,6 +482,30 @@ class TestWorkersRoundtrip:
         assert len(store.get_polygons(ids[0])) >= 1
         assert len(list((tmp_path / "masks").glob("mask_*.tif"))) == 1
 
+    def test_infer_duplicate_ids_deduped(self, any_store, tmp_path, rng):
+        """A repeated image id (explicit --files + dataset expansion) must
+        segment once: with pipeline=True the second occurrence's processed
+        check / overwrite deletions could otherwise race the first's pending
+        finish() and double-upload ROIs."""
+        store, did, ids = self._store_with_trainset(any_store[0], tmp_path, rng, n=1)
+        store.delete_polygons(ids[0])
+
+        calls = []
+
+        class CountingEngine:
+            def segment(self, frames):
+                calls.append(1)
+                m = np.zeros(frames.shape, np.uint16)
+                m[..., 5:15, 5:15] = 1
+                return m
+
+        infer_dataset(store, [ids[0], ids[0], ids[0]], CountingEngine(),
+                      model_name="m01", overwrite=True, pipeline=True)
+        assert len(calls) == 1
+        # exactly one ROI set uploaded (one square instance per frame)
+        n_frames = store.get_image(ids[0]).size_t
+        assert len(store.get_polygons(ids[0])) == n_frames
+
     def test_multiframe_overlay_stack(self, tmp_path, rng):
         # reference result_export.py:183-204 writes the overlay per frame
         store = LocalStore(tmp_path / "store")

@@ -93,6 +93,28 @@ class TestRemap:
         out = remap_label(m)
         np.testing.assert_array_equal(out, [[0, 1], [2, 1]])
 
+    def test_remap_by_size_largest_first(self):
+        """Reference stats_utils.py:365-394 by_size semantics: new id 1 is
+        the largest instance; ties keep original id order (stable)."""
+        m = np.array([[3, 3, 3], [7, 7, 0], [9, 0, 0]], np.uint16)
+        out = remap_label(m, by_size=True)
+        np.testing.assert_array_equal(
+            out, np.array([[1, 1, 1], [2, 2, 0], [3, 0, 0]], np.uint16))
+        assert out.dtype == m.dtype
+
+    def test_remap_by_size_matches_loop_oracle(self):
+        rng = np.random.RandomState(0)
+        m = rng.randint(0, 12, size=(40, 40)).astype(np.int32) * 7
+        out = remap_label(m, by_size=True)
+        # loop oracle (the reference's per-instance algorithm)
+        ids = np.unique(m); ids = ids[ids > 0]
+        sizes = np.array([(m == i).sum() for i in ids])
+        order = ids[np.argsort(-sizes, kind="stable")]
+        ref = np.zeros_like(m)
+        for new, old in enumerate(order, 1):
+            ref[m == old] = new
+        np.testing.assert_array_equal(out, ref)
+
 
 class TestPairCoordinates:
     def test_pairs_within_radius(self):
