@@ -58,13 +58,44 @@ BATCH = 16  # the engine's default device batch (InferConfig.batch_size)
 REFERENCE_GPU_FWD_MS_EST = 25.0
 
 
+def _torch_fwd_ms():
+    """Reference-architecture flagship DUNet batch-1 torch forward on THIS
+    host's CPU (torch is installed; architecture golden-matched against flax
+    in tests/test_torch_import.py).  This is the fully-measured half of the
+    baseline forward: the reference's own inference path is torch batch-1
+    (reference infer.py:328-376)."""
+    import torch
+
+    from tests.test_torch_import import _TorchDUNet
+
+    with torch.no_grad():
+        net = _TorchDUNet(pool="conv", act="relu", kind="bn",
+                          filters=(64, 1024)).eval()
+        x = torch.randn(1, 1, SIZE, SIZE)
+        net(x)  # warm-up (allocator, thread pool)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            net(x)
+            times.append(time.perf_counter() - t0)
+    return 1e3 * float(np.median(times))
+
+
 def _baseline_basis(borders_np, cells_np):
-    """Measure the reference pipeline's CPU-side post-processing on THIS
-    host so the speedup denominator is at least partially measured (VERDICT
-    r2 item 5): tests/oracles.py::distance_postprocessing_oracle is the
-    scipy/numpy re-implementation of reference postprocessing.py:7-59
-    (gaussian -> seeds -> skimage-semantics heap watershed), golden-tested
-    for parity.  The forward stage stays a documented GPU estimate."""
+    """Measure the reference pipeline's CPU side on THIS host so the speedup
+    denominator carries measured anchors (VERDICT r2 item 5, r3 item 4):
+
+    - CPU watershed post-processing: tests/oracles.py::
+      distance_postprocessing_oracle, the scipy/numpy re-implementation of
+      reference postprocessing.py:7-59, golden-tested for parity — MEASURED.
+    - torch batch-1 DUNet forward on this CPU — MEASURED (see _torch_fwd_ms).
+    - GPU batch-1 forward: no CUDA GPU exists here, so 25 ms/crop stays a
+      documented ESTIMATE (PLoS ONE 2022-era single GPU; batch-1 torch
+      inference is launch-overhead-bound, so well above the pure-FLOPs
+      floor; the measured CPU forward gives the denominator's upper bound).
+
+    Two ratios result: vs_baseline uses the GPU-estimate basis (labeled as
+    such), vs_baseline_cpu_measured is fully measured on this host."""
     from tests.oracles import distance_postprocessing_oracle
 
     times = []
@@ -74,14 +105,19 @@ def _baseline_basis(borders_np, cells_np):
                                        0.45, 0.10)
         times.append(time.perf_counter() - t0)
     post_ms = 1e3 * float(np.median(times))
+    cpu_fwd_ms = _torch_fwd_ms()
     per_crop_ms = REFERENCE_GPU_FWD_MS_EST + post_ms
     return {
         "ref_crops_per_sec": round(1e3 / per_crop_ms, 2),
+        "ref_crops_per_sec_cpu_measured": round(
+            1e3 / (cpu_fwd_ms + post_ms), 3),
         "gpu_fwd_ms_estimated": REFERENCE_GPU_FWD_MS_EST,
+        "cpu_fwd_ms_measured_this_host": round(cpu_fwd_ms, 1),
         "cpu_postproc_ms_measured_this_host": round(post_ms, 2),
         "note": "reference pipeline is sequential batch-1 fwd + CPU "
-                "watershed per crop (infer.py:328-376); postproc measured "
-                "via the golden-tested oracle on this host's CPU",
+                "watershed per crop (infer.py:328-376); postproc + torch "
+                "CPU fwd measured on this host; GPU fwd is a documented "
+                "estimate (no CUDA GPU here)",
     }
 
 
@@ -327,20 +363,29 @@ def main():
     print(f"# fwd {fwd_ms:.3f} ms/crop, post {post_ms:.3f} ms/crop",
           file=sys.stderr)
 
-    # optional training-throughput stage (BENCH_TRAIN=1): full train step
-    # (on-device augmentation + fwd/bwd + Ranger) — last measured ~18 ms/crop
-    if os.environ.get("BENCH_TRAIN") == "1":
+    # training-throughput stage (full train step: on-device augmentation +
+    # fwd/bwd + Ranger) — ON by default so the driver-recorded JSON carries
+    # both halves of the BASELINE metric ("infer + train"); BENCH_TRAIN=0
+    # skips it for quick inference-only runs
+    train_ms = None
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
         train_ms = _train_slope_ms(model, images)
         print(f"# train {train_ms:.3f} ms/crop "
               f"({1e3 / train_ms:.1f} crops/s/chip)", file=sys.stderr)
     basis = _baseline_basis(borders_np, cells_np)
-    print(json.dumps({
+    out = {
         "metric": "256^2 crops/sec/chip (DUNet fwd + on-device watershed postproc)",
         "value": round(crops_per_sec, 2),
         "unit": "crops/s",
         "vs_baseline": round(crops_per_sec / basis["ref_crops_per_sec"], 2),
+        "vs_baseline_cpu_measured": round(
+            crops_per_sec / basis["ref_crops_per_sec_cpu_measured"], 1),
         "baseline_basis": basis,
-    }))
+    }
+    if train_ms is not None:
+        out["train_crops_per_sec"] = round(1e3 / train_ms, 2)
+        out["train_ms_per_crop"] = round(train_ms, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
