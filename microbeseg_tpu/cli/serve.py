@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--tile_overlap", default=128, type=int)
     parser.add_argument("--quantize", default=False, action="store_true")
     parser.add_argument("--tta", default=False, action="store_true")
+    parser.add_argument("--max_body_mb", default=512, type=int,
+                        help="Reject request bodies above this size with "
+                        "413 before reading them (largest supported frame, "
+                        "8192^2 uint16, is 128 MB; a 2000-frame 256^2 "
+                        "stack is 250 MB)")
     return parser
 
 
@@ -106,7 +111,8 @@ def encode_masks(masks: np.ndarray, fmt: str) -> tuple[bytes, str]:
     return buf.getvalue(), "application/x-npy"
 
 
-def make_handler(engine: InferenceEngine, model_info: dict):
+def make_handler(engine: InferenceEngine, model_info: dict,
+                 max_body_bytes: int = 512 * 1024 * 1024):
     class Handler(BaseHTTPRequestHandler):
         # bound socket reads: a client that connects and never sends a
         # request would otherwise wedge the single-threaded daemon
@@ -150,10 +156,18 @@ def make_handler(engine: InferenceEngine, model_info: dict):
             # client errors (bad payload/params) -> 400; engine/device
             # failures on a valid request -> 500, so retrying clients and
             # monitoring see a server fault, not a rejected request
+            length = int(self.headers.get("Content-Length", 0) or 0)
+            if length > max_body_bytes:
+                # refuse BEFORE reading: the body never enters memory.  The
+                # unread bytes make the connection unusable for a further
+                # request, so close it (clients see the 413 first).
+                self.close_connection = True
+                self._json(413, {"error": f"payload {length} bytes exceeds "
+                                 f"the {max_body_bytes}-byte limit"})
+                return
             try:
                 th_cell = qf("th_cell", engine.cfg.th_cell)
                 th_seed = qf("th_seed", engine.cfg.th_seed)
-                length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length)
                 channel = int(q.get("channel", ["0"])[0])
                 stack = decode_payload(body, channel)
@@ -183,9 +197,11 @@ def make_handler(engine: InferenceEngine, model_info: dict):
 
 
 def serve(engine: InferenceEngine, model_info: dict, host: str, port: int,
-          server_cls=HTTPServer) -> HTTPServer:
+          server_cls=HTTPServer,
+          max_body_bytes: int = 512 * 1024 * 1024) -> HTTPServer:
     """Build the HTTP server (caller runs serve_forever / shutdown)."""
-    return server_cls((host, port), make_handler(engine, model_info))
+    return server_cls((host, port),
+                      make_handler(engine, model_info, max_body_bytes))
 
 
 def main(argv=None) -> int:
@@ -198,7 +214,8 @@ def main(argv=None) -> int:
             "label_type": engine.label_type,
             "tta": args.tta, "tiling": args.sliding_window,
             "ensemble": len(args.model) > 1}
-    httpd = serve(engine, info, args.host, args.port)
+    httpd = serve(engine, info, args.host, args.port,
+                  max_body_bytes=args.max_body_mb * 1024 * 1024)
     print(f"serving {args.model} on http://{args.host}:{args.port} "
           "(GET /healthz, POST /segment)")
     try:

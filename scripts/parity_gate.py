@@ -1,0 +1,256 @@
+"""Composed end-to-end >=0.99 mask-IoU parity gate (BASELINE.json north star).
+
+One measurement that chains EVERY parity claim the suite evidences piecewise:
+
+Chain A — the reference's own algorithm chain on a reference-format
+checkpoint (the .pth this harness exports):
+  torch batch-1 DUNet forward (architecture golden-matched in
+  tests/test_torch_import.py) with the reference pre-processing — per-frame
+  min/max normalization to [-1, 1] (reference utils.py:50-74, infer.py:346)
+  and up-left zero-padding to the tested-shapes bucket (utils.py:124-163,
+  infer.py:256) — followed by the scipy/numpy oracle post-processing
+  (tests/oracles.distance_postprocessing_oracle == reference
+  postprocessing.py:7-59; the per-frame loop mirrors
+  infer_script_local.py:117-161).
+
+Chain B — this framework, end to end: the .pth goes through
+  models/torch_import.import_torch_checkpoint and the REIMPORTED checkpoint
+  drives the full InferenceEngine.segment — dense bucket path, batch > 1,
+  and the sliding-window tiled path (engine._predict_tiled).
+
+Gate: tests/oracles.masks_iou(A, B) >= 0.99 on every frame, with a
+non-vacuity check (each frame must contain instances).
+
+Usage:
+  python scripts/parity_gate.py                  # on the chip (bf16 engine)
+  JAX_PLATFORMS=cpu python scripts/parity_gate.py --dtype float32
+tests/test_parity_gate.py drives run_gate() on small shapes in the suite.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parents[1]
+if str(ROOT) not in sys.path:
+    sys.path.insert(0, str(ROOT))
+
+
+# ---------------------------------------------------------------------------
+# Synthetic data (self-contained; same distribution for train and gate)
+# ---------------------------------------------------------------------------
+
+def blob_sample(rng, size: int, n_blobs: int = 8):
+    """One synthetic crop: bright elliptical cells (touching allowed,
+    overlap rejected) on a noisy background. Returns (uint16 img, mask)."""
+    mask = np.zeros((size, size), np.uint16)
+    yy, xx = np.mgrid[0:size, 0:size]
+    k = 0
+    for _ in range(n_blobs * 3):
+        if k >= n_blobs:
+            break
+        cy, cx = rng.integers(8, size - 8, 2)
+        ry, rx = rng.integers(4, 9, 2)
+        blob = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
+        if (mask[blob] > 0).any():
+            continue
+        k += 1
+        mask[blob] = k
+    img = ((mask > 0) * 28000.0 + rng.normal(0, 900, (size, size)) + 2500.0)
+    return np.clip(img, 0, 65535).astype(np.uint16), mask
+
+
+def make_training_data(rng, n: int, size: int):
+    """TrainingData with oracle-generated distance labels (the reference's
+    label algorithm, train_data_representations.py:261-361)."""
+    from microbeseg_tpu.training.data import SplitArrays, TrainingData
+    from tests.oracles import distance_label_oracle, regionprops_oracle
+
+    images, borders, cells = [], [], []
+    for _ in range(n):
+        img, mask = blob_sample(rng, size)
+        props = regionprops_oracle(mask)
+        mal = max((p["major_axis_length"] for p in props), default=8.0)
+        cell, border = distance_label_oracle(mask, int(np.ceil(0.75 * mal)))
+        images.append(img.astype(np.float32))
+        cells.append(cell)
+        borders.append(border)
+
+    def stack(arrs):
+        return np.stack(arrs)[..., None].astype(np.float32)
+
+    split = SplitArrays(images=stack(images),
+                        labels={"border_label": stack(borders),
+                                "cell_label": stack(cells)},
+                        ids=[str(i) for i in range(n)])
+    return TrainingData(train=split, val=split, crop_size=size)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint plumbing
+# ---------------------------------------------------------------------------
+
+def train_tiny(work: Path, rng, size: int = 64, n_train: int = 8,
+               epochs: int = 30, filters=(8, 16), seed: int = 3) -> Path:
+    """Train a tiny DUNet until its fields threshold confidently; returns
+    the checkpoint stem (models_dir / run_name)."""
+    from microbeseg_tpu.config import ModelConfig, TrainConfig
+    from microbeseg_tpu.training.trainer import Trainer
+
+    cfg = TrainConfig(
+        model=ModelConfig(filters=tuple(filters), act_fun="relu",
+                          normalization="gn"),
+        optimizer="adam", batch_size=4, run_name="parity_model_01",
+        # bound via max_epochs (>= 20 keeps the plateau-schedule integer
+        # divisions meaningful); should_stop would trigger the reference's
+        # user-stop semantics, which DELETE the partial checkpoint
+        # (trainer.py:333, reference train.py:439-444)
+        max_epochs=max(epochs, 20), compute_dtype="float32", seed=seed)
+    data = make_training_data(rng, n_train, size)
+    models = work / "models"
+    trainer = Trainer(cfg, models)
+    trainer.fit(data)  # full protocol: writes the checkpoint + json sidecar
+    return models / cfg.run_name
+
+
+def to_reference_and_back(stem: Path, work: Path):
+    """Our ckpt -> reference .pth (+json) -> reimported ckpt.  Returns
+    (pth_path, reimported_stem, ModelConfig)."""
+    from microbeseg_tpu.config import ModelConfig, read_sidecar
+    from microbeseg_tpu.models.torch_import import (export_torch_checkpoint,
+                                                    import_torch_checkpoint)
+
+    pth = export_torch_checkpoint(stem, work / "reference_format")
+    ckpt = import_torch_checkpoint(pth, work / "reimported")
+    sidecar = read_sidecar(stem.parent / f"{stem.name}.json")
+    mcfg = ModelConfig.from_architecture(sidecar["architecture"],
+                                         label_type="distance")
+    return pth, ckpt.with_suffix(""), mcfg
+
+
+def torch_net_from_pth(pth: Path, mcfg):
+    import torch
+
+    from tests.test_torch_import import _TorchDUNet
+
+    net = _TorchDUNet(ch_in=mcfg.ch_in, ch_out=mcfg.ch_out,
+                      pool=mcfg.pool_method, act=mcfg.act_fun,
+                      kind=mcfg.normalization, filters=mcfg.filters)
+    net.load_state_dict(torch.load(pth, map_location="cpu"))
+    return net.eval()
+
+
+# ---------------------------------------------------------------------------
+# The two chains
+# ---------------------------------------------------------------------------
+
+def reference_chain(net, frames: np.ndarray, th_seed: float,
+                    th_cell: float) -> np.ndarray:
+    """Reference per-frame loop (infer_script_local.py:117-161): normalize
+    -> pad -> torch batch-1 forward -> crop pads -> oracle watershed."""
+    import torch
+
+    from microbeseg_tpu.utils.image import (min_max_normalization,
+                                            zero_pad_model_input)
+    from tests.oracles import distance_postprocessing_oracle
+
+    masks = []
+    with torch.no_grad():
+        for frame in frames:
+            img = min_max_normalization(frame.astype(np.float32),
+                                        float(frame.min()),
+                                        float(frame.max()))
+            padded, pads = zero_pad_model_input(img)
+            border, cell = net(torch.from_numpy(padded[None, None].copy()))
+            border = border.numpy()[0, 0, pads[0]:, pads[1]:]
+            cell = cell.numpy()[0, 0, pads[0]:, pads[1]:]
+            masks.append(distance_postprocessing_oracle(
+                border, cell, th_seed, th_cell))
+    return np.stack(masks)
+
+
+def engine_masks(stem: Path, frames: np.ndarray, dtype: str,
+                 infer_cfg) -> np.ndarray:
+    import jax.numpy as jnp
+
+    from microbeseg_tpu.inference.engine import InferenceEngine
+    from microbeseg_tpu.models.io import load_model
+
+    model, variables, tcfg = load_model(Path(stem), dtype=jnp.dtype(dtype))
+    eng = InferenceEngine(model, variables, tcfg.label_type, cfg=infer_cfg)
+    return eng.segment(frames)
+
+
+# ---------------------------------------------------------------------------
+# The gate
+# ---------------------------------------------------------------------------
+
+def run_gate(work: Path, seed: int = 0, crop: int = 64, frame: int = 128,
+             n_frames: int = 4, epochs: int = 30, filters=(8, 16),
+             dtype: str = "float32", tile_size: int = 64,
+             tile_overlap: int = 16, th_seed: float = 0.45,
+             th_cell: float = 0.10) -> dict:
+    """Train -> export -> reimport -> compare chains.  Returns per-variant
+    per-frame IoUs plus instance counts (for the non-vacuity check)."""
+    from microbeseg_tpu.config import InferConfig
+    from tests.oracles import masks_iou
+
+    work = Path(work)
+    rng = np.random.default_rng(seed)
+    stem = train_tiny(work, rng, size=crop, epochs=epochs, filters=filters,
+                      seed=seed + 3)
+    pth, reimported, mcfg = to_reference_and_back(stem, work)
+    net = torch_net_from_pth(pth, mcfg)
+
+    # gate frames: same distribution, DISJOINT from training (fresh rng draws)
+    frames = np.stack(
+        [blob_sample(rng, frame, n_blobs=14)[0] for _ in range(n_frames)])
+
+    ref = reference_chain(net, frames, th_seed, th_cell)
+    dense = engine_masks(reimported, frames, dtype,
+                         InferConfig(th_cell=th_cell, th_seed=th_seed))
+    tiled = engine_masks(reimported, frames, dtype,
+                         InferConfig(th_cell=th_cell, th_seed=th_seed,
+                                     use_tiling=True, tile_size=tile_size,
+                                     tile_overlap=tile_overlap))
+
+    out = {
+        "n_instances_ref": [int(len(np.unique(m)) - 1) for m in ref],
+        "iou_dense": [float(masks_iou(r, d)) for r, d in zip(ref, dense)],
+        "iou_tiled": [float(masks_iou(r, t)) for r, t in zip(ref, tiled)],
+        "dtype": dtype,
+        "frames": list(frames.shape),
+    }
+    out["min_iou"] = min(out["iou_dense"] + out["iou_tiled"])
+    out["mean_iou"] = float(np.mean(out["iou_dense"] + out["iou_tiled"]))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--work", default="/tmp/parity_gate")
+    ap.add_argument("--dtype", default="bfloat16",
+                    help="engine compute dtype (bfloat16 = the production "
+                         "TPU path; float32 for CPU runs)")
+    ap.add_argument("--frame", type=int, default=256)
+    ap.add_argument("--n_frames", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    res = run_gate(Path(args.work), seed=args.seed, frame=args.frame,
+                   n_frames=args.n_frames, epochs=args.epochs,
+                   dtype=args.dtype, tile_size=128, tile_overlap=32)
+    res["pass"] = bool(res["min_iou"] >= 0.99
+                       and all(n > 0 for n in res["n_instances_ref"]))
+    print(json.dumps(res, indent=1))
+    return 0 if res["pass"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -156,3 +156,36 @@ class TestServeCli:
         args = build_parser().parse_args(["--model", "m", "--port", "9000"])
         assert args.port == 9000 and args.thresholds == [0.10, 0.45]
         assert not args.tta and not args.sliding_window
+
+    def test_oversized_payload_is_413_before_read(self, server, rng):
+        """A Content-Length above the limit is refused with 413 WITHOUT
+        reading the body (the daemon must not buffer a runaway upload)."""
+        from microbeseg_tpu.cli.serve import serve as _  # noqa: F401
+
+        conn = HTTPConnection(*server, timeout=120)
+        # announce a huge body but only send headers: a pre-read refusal
+        # answers immediately; a handler that tried to read would block
+        conn.putrequest("POST", "/segment")
+        conn.putheader("Content-Length", str(600 * 1024 * 1024))
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 413
+        assert b"exceeds" in resp.read()
+        conn.close()
+
+    def test_sequential_clients_share_the_engine(self, server, rng):
+        """Two clients on separate connections, one after the other (the
+        single-threaded-by-design serialization point is the engine): both
+        get correct independent answers, and a 400 from the first client
+        does not poison the second."""
+        bad = _post(server, "/segment", b"not an image at all")
+        assert bad[0] == 400
+        for _client in range(2):
+            frames = _frames_from_blobs(rng, n=2, shape=(48, 52))
+            buf = io.BytesIO()
+            np.save(buf, frames, allow_pickle=False)
+            status, headers, data = _post(server, "/segment", buf.getvalue())
+            assert status == 200
+            masks = np.load(io.BytesIO(data), allow_pickle=False)
+            assert masks.shape == (2, 48, 52)
+            assert masks.max() > 0
