@@ -200,6 +200,17 @@ def run_gate(work: Path, seed: int = 0, crop: int = 64, frame: int = 128,
     from microbeseg_tpu.config import InferConfig
     from tests.oracles import masks_iou
 
+    if dtype == "float32":
+        # XLA truncates f32 conv/matmul operands to bf16 at DEFAULT
+        # precision — on the TPU MXU (CLAUDE.md incident 2026-08-19) AND on
+        # AVX512-BF16 host CPUs (measured here 2026-08-20: flagship-chain
+        # |flax32 - torch32| 0.053 at default, 4.4e-6 at highest; flax64
+        # matches torch64 at 1.2e-7, so the model functions are identical).
+        # The f32 gate must measure the ALGORITHM chain, not the intentional
+        # production bf16 truncation — the bfloat16 dtype run quantifies
+        # that separately.
+        import jax
+        jax.config.update("jax_default_matmul_precision", "highest")
     work = Path(work)
     rng = np.random.default_rng(seed)
     stem = train_tiny(work, rng, size=crop, epochs=epochs, filters=filters,
