@@ -162,11 +162,17 @@ def reference_chain(net, frames: np.ndarray, th_seed: float,
     masks = []
     with torch.no_grad():
         for frame in frames:
-            img = min_max_normalization(frame.astype(np.float32),
-                                        float(frame.min()),
-                                        float(frame.max()))
-            padded, pads = zero_pad_model_input(img)
-            border, cell = net(torch.from_numpy(padded[None, None].copy()))
+            # reference order: min/max on the UNPADDED frame, pad the RAW
+            # frame with its minimum (local script semantics; the OMERO
+            # script's raw-0 pad clips to the same -1 — PARITY.md), THEN
+            # normalize.  Padding the normalized image with 0 instead
+            # corrupts every pixel through GroupNorm's global statistics
+            # (caught by the 192^2 gate run: IoU 0.5 everywhere).
+            mn, mx = float(frame.min()), float(frame.max())
+            padded, pads = zero_pad_model_input(frame.astype(np.float32),
+                                                pad_val=mn)
+            img = min_max_normalization(padded, mn, mx)
+            border, cell = net(torch.from_numpy(img[None, None].copy()))
             border = border.numpy()[0, 0, pads[0]:, pads[1]:]
             cell = cell.numpy()[0, 0, pads[0]:, pads[1]:]
             masks.append(distance_postprocessing_oracle(
