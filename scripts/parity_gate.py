@@ -96,15 +96,27 @@ def make_training_data(rng, n: int, size: int):
 # ---------------------------------------------------------------------------
 
 def train_tiny(work: Path, rng, size: int = 64, n_train: int = 8,
-               epochs: int = 30, filters=(8, 16), seed: int = 3) -> Path:
+               epochs: int = 30, filters=(8, 16), seed: int = 3,
+               normalization: str = "bn") -> Path:
     """Train a tiny DUNet until its fields threshold confidently; returns
-    the checkpoint stem (models_dir / run_name)."""
+    the checkpoint stem (models_dir / run_name).
+
+    Default 'bn' (the reference's default, train.py:187) and not 'gn' on
+    purpose: eval-mode BatchNorm uses FROZEN statistics (precise-BN
+    recalibrated by the trainer), so the forward is translation-local and
+    the tiled path sees the same normalization as the dense path.
+    GroupNorm computes statistics over each padded tile/bucket GLOBALLY —
+    the tiled gate leg then measures GN's tile-statistics coupling, not
+    pipeline parity (measured: gn tiled leg 0.67-0.78 while dense
+    0.97-0.999; flagship-scale coupling is mild, docs/PARITY.md).  The
+    in-suite test uses 'gn' with the tiled leg off: bn's per-epoch
+    precise-recalibration triples the tiny-model training time."""
     from microbeseg_tpu.config import ModelConfig, TrainConfig
     from microbeseg_tpu.training.trainer import Trainer
 
     cfg = TrainConfig(
         model=ModelConfig(filters=tuple(filters), act_fun="relu",
-                          normalization="gn"),
+                          normalization=normalization),
         optimizer="adam", batch_size=4, run_name="parity_model_01",
         # bound via max_epochs (>= 20 keeps the plateau-schedule integer
         # divisions meaningful); should_stop would trigger the reference's
@@ -200,7 +212,8 @@ def run_gate(work: Path, seed: int = 0, crop: int = 64, frame: int = 128,
              n_frames: int = 4, epochs: int = 30, filters=(8, 16),
              dtype: str = "float32", tile_size: int = 64,
              tile_overlap: int = 16, th_seed: float = 0.45,
-             th_cell: float = 0.10) -> dict:
+             th_cell: float = 0.10, reuse: bool = False,
+             normalization: str = "bn", tiled: bool = True) -> dict:
     """Train -> export -> reimport -> compare chains.  Returns per-variant
     per-frame IoUs plus instance counts (for the non-vacuity check)."""
     from microbeseg_tpu.config import InferConfig
@@ -219,8 +232,17 @@ def run_gate(work: Path, seed: int = 0, crop: int = 64, frame: int = 128,
         jax.config.update("jax_default_matmul_precision", "highest")
     work = Path(work)
     rng = np.random.default_rng(seed)
-    stem = train_tiny(work, rng, size=crop, epochs=epochs, filters=filters,
-                      seed=seed + 3)
+    stem = work / "models" / "parity_model_01"
+    if reuse and stem.with_suffix(".ckpt").exists():
+        # reuse an existing trained checkpoint (e.g. the CPU-f32-trained one
+        # for the on-chip bf16 engine probe) but REPLAY the training-data rng
+        # draws so the gate frames stay the held-out continuation
+        for _ in range(8):
+            blob_sample(rng, crop)
+    else:
+        stem = train_tiny(work, rng, size=crop, epochs=epochs,
+                          filters=filters, seed=seed + 3,
+                          normalization=normalization)
     pth, reimported, mcfg = to_reference_and_back(stem, work)
     net = torch_net_from_pth(pth, mcfg)
 
@@ -231,20 +253,24 @@ def run_gate(work: Path, seed: int = 0, crop: int = 64, frame: int = 128,
     ref = reference_chain(net, frames, th_seed, th_cell)
     dense = engine_masks(reimported, frames, dtype,
                          InferConfig(th_cell=th_cell, th_seed=th_seed))
-    tiled = engine_masks(reimported, frames, dtype,
-                         InferConfig(th_cell=th_cell, th_seed=th_seed,
-                                     use_tiling=True, tile_size=tile_size,
-                                     tile_overlap=tile_overlap))
-
     out = {
         "n_instances_ref": [int(len(np.unique(m)) - 1) for m in ref],
         "iou_dense": [float(masks_iou(r, d)) for r, d in zip(ref, dense)],
-        "iou_tiled": [float(masks_iou(r, t)) for r, t in zip(ref, tiled)],
         "dtype": dtype,
         "frames": list(frames.shape),
     }
-    out["min_iou"] = min(out["iou_dense"] + out["iou_tiled"])
-    out["mean_iou"] = float(np.mean(out["iou_dense"] + out["iou_tiled"]))
+    ious = list(out["iou_dense"])
+    if tiled:
+        tiled_m = engine_masks(reimported, frames, dtype,
+                               InferConfig(th_cell=th_cell, th_seed=th_seed,
+                                           use_tiling=True,
+                                           tile_size=tile_size,
+                                           tile_overlap=tile_overlap))
+        out["iou_tiled"] = [float(masks_iou(r, t))
+                            for r, t in zip(ref, tiled_m)]
+        ious += out["iou_tiled"]
+    out["min_iou"] = min(ious)
+    out["mean_iou"] = float(np.mean(ious))
     return out
 
 
@@ -258,11 +284,22 @@ def main():
     ap.add_argument("--n_frames", type=int, default=4)
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--reuse", action="store_true",
+                    help="reuse work/models/parity_model_01.ckpt instead of "
+                         "training (on-chip probe over a CPU-trained ckpt)")
+    ap.add_argument("--normalization", default="bn", choices=("bn", "gn"))
+    ap.add_argument("--dense_only", action="store_true",
+                    help="skip the tiled leg (the reference stubs sliding "
+                         "windows, so tiled quality is measured against the "
+                         "DENSE truth at production scale instead — "
+                         "docs/PARITY.md)")
     args = ap.parse_args()
 
     res = run_gate(Path(args.work), seed=args.seed, frame=args.frame,
                    n_frames=args.n_frames, epochs=args.epochs,
-                   dtype=args.dtype, tile_size=128, tile_overlap=32)
+                   dtype=args.dtype, tile_size=128, tile_overlap=32,
+                   reuse=args.reuse, normalization=args.normalization,
+                   tiled=not args.dense_only)
     res["pass"] = bool(res["min_iou"] >= 0.99
                        and all(n > 0 for n in res["n_instances_ref"]))
     print(json.dumps(res, indent=1))
