@@ -134,3 +134,35 @@ class TestNumLabels:
         from microbeseg_tpu.ops.cc import num_labels
         labels = jnp.asarray([[0, 5], [9, 5]], dtype=jnp.int32)
         assert int(num_labels(labels)) == 2
+
+
+class TestRealCorpusIntegrity:
+    """Guard the committed real-microscopy corpus (data/real_glutamicum):
+    the quantitative real-data rows in docs/E2E_RESULTS.md depend on it."""
+
+    def test_corpus_complete_and_wellformed(self):
+        from pathlib import Path
+
+        import numpy as np
+
+        from microbeseg_tpu.utils.tiff import imread_page
+
+        corpus = Path(__file__).resolve().parents[1] / "data" / "real_glutamicum"
+        imgs = sorted(corpus.glob("img_*.tif"))
+        masks = sorted(corpus.glob("mask_*.tif"))
+        assert len(imgs) == 50 and len(masks) == 50
+        # spot-check shape/dtype/instance monotonicity (colony growth)
+        counts = []
+        for i in (0, 25, 49):
+            img = imread_page(corpus / f"img_{i:02d}.tif", 0)
+            mask = imread_page(corpus / f"mask_{i:02d}.tif", 0)
+            assert img.shape == (256, 256) and img.dtype == np.uint16
+            assert mask.shape == (256, 256) and mask.dtype == np.uint16
+            ids = np.unique(mask)
+            assert ids[0] == 0 and len(ids) >= 2
+            # dense ids 1..n (the eval contingency builders rely on this
+            # being a valid label image, not on density — but density
+            # catches rasterizer regressions cheaply)
+            counts.append(int(mask.max()))
+        assert counts[0] < counts[1] < counts[2]
+        assert counts[0] >= 5 and counts[2] >= 150
