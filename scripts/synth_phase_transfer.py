@@ -78,34 +78,61 @@ def colony_mask(rng, size: int, n_cells: int) -> np.ndarray:
     return mask
 
 
-def render_phase_contrast(rng, mask: np.ndarray) -> np.ndarray:
+def render_phase_contrast(rng, mask: np.ndarray,
+                          randomize: bool = False) -> np.ndarray:
     """Mask -> phase-contrast-style uint16 frame (measured real statistics:
     bg ~140, cells bg-22 with darker interiors, halo ring ~+70 decaying
-    over ~3 px, PSF blur, read noise, mild shading)."""
+    over ~3 px, PSF blur, read noise, mild shading).
+
+    ``randomize=True`` = DOMAIN RANDOMIZATION: every appearance parameter
+    is drawn per frame from a wide range instead of the calibrated point
+    estimate — the standard remedy when point-matched synthesis transfers
+    poorly (the v3 'better-calibrated' renderer measured WORSE than v1,
+    docs/E2E_RESULTS.md)."""
     size = mask.shape[0]
     yy, xx = np.mgrid[0:size, 0:size]
-    bg = 140.0 + rng.uniform(-6, 6)
+    if randomize:
+        bg = rng.uniform(110, 170)
+        shade = rng.uniform(2, 20)
+        depth_base = rng.uniform(8, 35)
+        depth_slope = rng.uniform(0, 8)
+        halo_amp = rng.uniform(30, 120)
+        halo_width = rng.uniform(1.2, 6.0)
+        wall_amp = rng.uniform(0, 70)
+        blur = rng.uniform(0.5, 1.8)
+        noise = rng.uniform(1.5, 6.0)
+    else:
+        bg = 140.0 + rng.uniform(-6, 6)
+        shade = 8.0
+        depth_base, depth_slope = 16.0, 4.0
+        halo_amp, halo_width = 90.0, 2.5
+        wall_amp = 0.0
+        blur, noise = 0.8, 3.5
     img = np.full(mask.shape, bg, np.float64)
-    # mild colony shading (real frames: bg std grows to ~18 when dense)
+    # colony shading (real frames: bg std grows to ~18 when dense)
     gy, gx = rng.uniform(-1, 1, 2)
-    img += 8.0 * (gy * (yy / size - 0.5) + gx * (xx / size - 0.5))
+    img += shade * (gy * (yy / size - 0.5) + gx * (xx / size - 0.5))
     cells = mask > 0
-    # cell body: ~22 below bg, darker toward the interior
     depth = ndimage.distance_transform_edt(cells)
-    img -= np.where(cells, 16.0 + 4.0 * np.clip(depth, 0, 3), 0.0)
-    # phase halo: bright ring on the OUTSIDE, decaying over ~3 px — dense
-    # interstices fill with halo (the real corpus' failure mode for the
-    # bright-cell model)
+    img -= np.where(cells, depth_base + depth_slope * np.clip(depth, 0, 3),
+                    0.0)
+    # phase halo: bright ring on the OUTSIDE — dense interstices fill with
+    # halo (the real corpus' failure mode for the bright-cell model)
     d_out = ndimage.distance_transform_edt(~cells)
-    halo = np.where(~cells, 90.0 * np.exp(-(d_out - 1.0) ** 2 / 2.5), 0.0)
-    img += halo
-    img = ndimage.gaussian_filter(img, 0.8)
-    img += rng.normal(0, 3.5, img.shape)
+    img += np.where(~cells,
+                    halo_amp * np.exp(-(d_out - 1.0) ** 2 / halo_width), 0.0)
+    if wall_amp > 0:
+        lo = ndimage.grey_erosion(mask, size=(3, 3))
+        hi = ndimage.grey_dilation(mask, size=(3, 3))
+        wall = cells & (hi != lo) & (lo > 0)
+        img += np.where(ndimage.binary_dilation(wall), wall_amp, 0.0)
+    img = ndimage.gaussian_filter(img, blur)
+    img += rng.normal(0, noise, img.shape)
     return (np.clip(img, 0, 255) * 257).astype(np.uint16)
 
 
 def build_trainset(out: Path, rng, n_train: int, n_val: int,
-                   size: int) -> Path:
+                   size: int, randomize: bool = False) -> Path:
     from microbeseg_tpu.utils.tiff import imwrite
 
     trainset = out / "trainset_synthpc"
@@ -115,7 +142,7 @@ def build_trainset(out: Path, rng, n_train: int, n_val: int,
             # density sweep: sparse micro-colonies to packed colonies
             n_cells = int(rng.integers(6, 220))
             mask = colony_mask(rng, size, n_cells)
-            img = render_phase_contrast(rng, mask)
+            img = render_phase_contrast(rng, mask, randomize=randomize)
             imwrite(trainset / split / f"img_{i:03d}.tif", img)
             imwrite(trainset / split / f"mask_{i:03d}.tif", mask)
     return trainset
@@ -128,6 +155,9 @@ def main(argv=None) -> int:
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--out", default="/tmp/synthpc")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--randomize", action="store_true",
+                   help="domain-randomized appearance instead of the "
+                        "calibrated point estimate")
     args = p.parse_args(argv)
 
     from microbeseg_tpu.config import EvalConfig, ModelConfig, TrainConfig
@@ -142,7 +172,7 @@ def main(argv=None) -> int:
         shutil.rmtree(out)
     rng = np.random.default_rng(args.seed)
     trainset = build_trainset(out, rng, args.n_train, max(args.n_train // 4, 4),
-                              args.size)
+                              args.size, randomize=args.randomize)
     # the REAL corpus test frames, raw polarity, as the eval test split
     (trainset / "test").mkdir(exist_ok=True)
     for i in TEST_FRAMES:
