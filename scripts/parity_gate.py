@@ -16,14 +16,22 @@ checkpoint (the .pth this harness exports):
 Chain B — this framework, end to end: the .pth goes through
   models/torch_import.import_torch_checkpoint and the REIMPORTED checkpoint
   drives the full InferenceEngine.segment — dense bucket path, batch > 1,
-  and the sliding-window tiled path (engine._predict_tiled).
+  and (optionally) the sliding-window tiled path (engine._predict_tiled).
 
 Gate: tests/oracles.masks_iou(A, B) >= 0.99 on every frame, with a
-non-vacuity check (each frame must contain instances).
+non-vacuity check (each frame must contain instances).  Measured results
+live in docs/E2E_RESULTS.md ("Composed end-to-end parity gate"): f32
+dense 0.992-0.999; on-chip production bf16 0.988-0.993.  The tiled leg
+has NO reference chain to compare against (the reference stubs sliding
+windows) — tiled quality is measured against the DENSE truth at
+production scale instead (0.9948, docs/PARITY.md); at tiny tiles the
+intrinsic GroupNorm tile-statistics coupling and receptive-field
+truncation dominate, which is why the default model is 'bn' and the
+suite tier runs gn dense-only.
 
 Usage:
-  python scripts/parity_gate.py                  # on the chip (bf16 engine)
-  JAX_PLATFORMS=cpu python scripts/parity_gate.py --dtype float32
+  JAX_PLATFORMS=cpu python scripts/parity_gate.py --dtype float32   # honest-f32 gate
+  python scripts/parity_gate.py --reuse --dense_only                # on-chip bf16 probe
 tests/test_parity_gate.py drives run_gate() on small shapes in the suite.
 """
 
