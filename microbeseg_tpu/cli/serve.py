@@ -156,7 +156,11 @@ def make_handler(engine: InferenceEngine, model_info: dict,
             # client errors (bad payload/params) -> 400; engine/device
             # failures on a valid request -> 500, so retrying clients and
             # monitoring see a server fault, not a rejected request
-            length = int(self.headers.get("Content-Length", 0) or 0)
+            try:
+                length = int(self.headers.get("Content-Length", 0) or 0)
+            except (TypeError, ValueError):
+                self._json(400, {"error": "invalid Content-Length header"})
+                return
             if length > max_body_bytes:
                 # refuse BEFORE reading: the body never enters memory.  The
                 # unread bytes make the connection unusable for a further

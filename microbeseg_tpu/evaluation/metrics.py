@@ -22,6 +22,9 @@ def remap_label(pred: np.ndarray, by_size: bool = False) -> np.ndarray:
 
     One bincount + one table gather — O(HW + max_id), no per-instance
     full-frame scans (reference stats_utils.py:365-394 loops per instance).
+    Ids <= 0 map to background; when max_id vastly exceeds the id count
+    (sparse int32/int64 labels) the lookup falls back to searchsorted so
+    the table allocation stays bounded.
     """
     pred = np.asarray(pred)
     ids = np.unique(pred)
@@ -29,13 +32,26 @@ def remap_label(pred: np.ndarray, by_size: bool = False) -> np.ndarray:
     if len(ids) == 0:
         return np.zeros_like(pred)
     if by_size:
-        sizes = np.bincount(pred.ravel().astype(np.int64),
-                            minlength=int(ids[-1]) + 1)[ids]
+        counts = np.bincount(
+            np.searchsorted(ids, pred.ravel()) + 1,
+            weights=(pred.ravel() > 0).astype(np.float64),
+            minlength=len(ids) + 2)[1:len(ids) + 1]
         # stable sort on -size keeps original id order among equal sizes
-        ids = ids[np.argsort(-sizes, kind="stable")]
-    table = np.zeros(int(ids.max()) + 1, dtype=pred.dtype)
-    table[ids] = np.arange(1, len(ids) + 1, dtype=pred.dtype)
-    return table[pred]
+        order = np.argsort(-counts, kind="stable")
+    else:
+        order = np.arange(len(ids))
+    new_ids = np.empty(len(ids), dtype=pred.dtype)
+    new_ids[order] = np.arange(1, len(ids) + 1, dtype=pred.dtype)
+    max_id = int(ids[-1])
+    if max_id <= max(65536, 4 * pred.size):
+        table = np.zeros(max_id + 1, dtype=pred.dtype)
+        table[ids] = new_ids
+        return np.where(pred > 0, table[np.clip(pred, 0, max_id)], 0)
+    # sparse fallback: O(HW log n) lookup, no O(max_id) allocation
+    idx = np.searchsorted(ids, pred)
+    idx = np.clip(idx, 0, len(ids) - 1)
+    hit = (pred > 0) & (ids[idx] == pred)
+    return np.where(hit, new_ids[idx], 0).astype(pred.dtype)
 
 
 def _contingency(true: np.ndarray, pred: np.ndarray

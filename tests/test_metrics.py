@@ -115,6 +115,31 @@ class TestRemap:
             ref[m == old] = new
         np.testing.assert_array_equal(out, ref)
 
+    def test_remap_negative_ids_map_to_background(self):
+        """ADVICE r4: signed inputs — ids <= 0 must all land on 0, not wrap
+        through the lookup table."""
+        m = np.array([[-3, 0, 5], [5, -1, 9]], np.int32)
+        out = remap_label(m)
+        np.testing.assert_array_equal(out, [[0, 0, 1], [1, 0, 2]])
+        out = remap_label(m, by_size=True)
+        np.testing.assert_array_equal(out, [[0, 0, 1], [1, 0, 2]])
+
+    def test_remap_sparse_huge_ids_no_dense_table(self):
+        """ADVICE r4: sparse int64 ids far above the pixel count must not
+        allocate an O(max_id) table; result identical to the dense path."""
+        m = np.zeros((32, 32), np.int64)
+        m[:4, :4] = 3
+        m[10:20, 10:20] = 2**40 + 7
+        m[25:27, 25:30] = 2**33
+        out = remap_label(m, by_size=True)
+        ref = np.zeros_like(m)
+        ref[10:20, 10:20] = 1   # largest
+        ref[:4, :4] = 2
+        ref[25:27, 25:30] = 3
+        np.testing.assert_array_equal(out, ref)
+        np.testing.assert_array_equal(
+            np.unique(remap_label(m)), [0, 1, 2, 3])
+
 
 class TestPairCoordinates:
     def test_pairs_within_radius(self):

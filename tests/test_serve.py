@@ -173,6 +173,18 @@ class TestServeCli:
         assert b"exceeds" in resp.read()
         conn.close()
 
+    def test_malformed_content_length_is_400(self, server, rng):
+        """ADVICE r4: a non-numeric Content-Length must yield a 400 JSON
+        error, not an uncaught ValueError and a dropped connection."""
+        conn = HTTPConnection(*server, timeout=120)
+        conn.putrequest("POST", "/segment")
+        conn.putheader("Content-Length", "banana")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert b"Content-Length" in resp.read()
+        conn.close()
+
     def test_sequential_clients_share_the_engine(self, server, rng):
         """Two clients on separate connections, one after the other (the
         single-threaded-by-design serialization point is the engine): both
