@@ -46,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Test-time augmentation: average predictions "
                              "over the dihedral transforms (beyond "
                              "reference; 4-8x forward cost)")
+    parser.add_argument("--metrics", type=str, nargs="+", default=None,
+                        choices=["aji", "dice", "pq"],
+                        help="Extra per-image metric columns computed at "
+                             "the AJI+-selected best thresholds (model "
+                             "selection stays AJI+; the reference vendors "
+                             "these but never surfaces them)")
     parser.add_argument("--ensemble", default=False, action="store_true",
                         help="Evaluate ALL --models as ONE ensemble "
                              "(averaged predictions, beyond reference) "
@@ -70,6 +76,8 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(cfg, tta=True)
     if args.ensemble:
         cfg = dataclasses.replace(cfg, ensemble=True)
+    if args.metrics:
+        cfg = dataclasses.replace(cfg, extra_metrics=tuple(args.metrics))
     ev = Evaluator(cfg, text_output=print)
     df = ev.evaluate(path_data, path_results,
                      [Path(m) for m in args.models])

@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "its training snapshot")
     parser.add_argument("--max_epochs", default=None, type=int,
                         help="Override the dataset-size epoch heuristic")
+    parser.add_argument("--pretrained", default=None, type=str,
+                        help="Checkpoint stem to warm-start training from "
+                             "(fine-tuning instead of from-scratch)")
     parser.add_argument("--username", default=None, type=str, help="OMERO username")
     parser.add_argument("--password", default=None, type=str, help="OMERO password")
     parser.add_argument("--host", default=None, type=str, help="OMERO host")
@@ -97,6 +100,8 @@ def main(argv=None) -> int:
                       normalization=args.normalization,
                       max_epochs=args.max_epochs,
                       train_state_every=args.save_train_state,
-                      resume=args.resume)
+                      resume=args.resume,
+                      pretrained=(Path(args.pretrained)
+                                  if args.pretrained else None))
     print("--- Finished ---")
     return 0 if ok else 1

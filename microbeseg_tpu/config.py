@@ -161,6 +161,17 @@ class EvalConfig:
     # evaluate ALL given models as ONE ensemble (averaged predictions,
     # InferenceEngine.from_checkpoints) instead of one row per model
     ensemble: bool = False
+    # extra per-image metric columns ('aji', 'dice', 'pq') computed at the
+    # AJI+-selected best thresholds (default off; the reference vendors
+    # these in stats_utils.py:16-284 but never surfaces them — model
+    # selection stays AJI+-driven either way, eval.py:261)
+    extra_metrics: Tuple[str, ...] = ()
+
+    def __post_init__(self):
+        bad = set(self.extra_metrics) - {"aji", "dice", "pq"}
+        if bad:
+            raise ValueError(f"unknown extra_metrics {sorted(bad)} "
+                             "(choose from aji, dice, pq)")
 
 
 def get_max_epochs(n_samples: int, crop_size: int) -> int:

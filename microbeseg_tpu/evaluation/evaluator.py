@@ -26,7 +26,9 @@ import numpy as np
 import pandas as pd
 
 from microbeseg_tpu.config import EvalConfig
-from microbeseg_tpu.evaluation.metrics import get_fast_aji_plus, remap_label
+from microbeseg_tpu.evaluation.metrics import (get_fast_aji, get_fast_aji_plus,
+                                               get_fast_dice_2, get_fast_pq,
+                                               remap_label)
 from microbeseg_tpu.inference.engine import InferenceEngine
 from microbeseg_tpu.ops.postprocessing import boundary_postprocessing
 from microbeseg_tpu.utils.image import border_correction
@@ -93,7 +95,10 @@ class Evaluator:
         self.text_output(start_message)
 
         scores = {"model": [], "th_cell": [], "th_seed": [],
-                  "aji+ (mean)": [], "aji+ (std)": [], "test set version": []}
+                  "aji+ (mean)": [], "aji+ (std)": []}
+        for m in self.cfg.extra_metrics:
+            scores[f"{m} (mean)"] = []
+        scores["test set version"] = []
 
         # ensemble mode (beyond reference): ALL given checkpoints form ONE
         # averaged model -> one job/row; otherwise one job per checkpoint
@@ -143,6 +148,10 @@ class Evaluator:
             scores["th_seed"].append(th_seed)
             scores["aji+ (mean)"].append(score)
             scores["aji+ (std)"].append(std)
+            if self.cfg.extra_metrics:
+                extras = self._extra_scores(out_dir, path_data / "test")
+                for m in self.cfg.extra_metrics:
+                    scores[f"{m} (mean)"].append(extras[m])
             scores["test set version"].append(version)
 
             self._zip_test_set(path_data, out_dir)
@@ -277,6 +286,40 @@ class Evaluator:
             names.append(pred_id.stem)
             vals.append(aji)
         return names, vals
+
+    _EXTRA_FNS = {
+        "aji": lambda t, p: get_fast_aji(t, p),
+        "dice": lambda t, p: get_fast_dice_2(t, p),
+        "pq": lambda t, p: get_fast_pq(t, p)[0][2],
+    }
+
+    def _extra_scores(self, pred_dir: Path, gt_dir: Path) -> dict:
+        """Per-image extra metric columns (``EvalConfig.extra_metrics``) on
+        the AJI+-selected best-threshold masks already sitting at the top of
+        ``pred_dir``; appends the columns to its ``scores.csv`` and returns
+        the per-metric means.  Selection semantics are untouched — the
+        reference vendors these metrics but never surfaces them
+        (stats_utils.py:16-284)."""
+        cols: dict = {m: [] for m in self.cfg.extra_metrics}
+        names = []
+        for pred_id in sorted(pred_dir.glob("mask*.tif")):
+            prediction = border_correction(imread(pred_id),
+                                           self.cfg.border_width)
+            ground_truth = border_correction(imread(gt_dir / pred_id.name),
+                                             self.cfg.border_width)
+            t, p = remap_label(ground_truth), remap_label(prediction)
+            names.append(pred_id.stem)
+            for m in self.cfg.extra_metrics:
+                cols[m].append(self._EXTRA_FNS[m](t, p)
+                               if p.max() > 0 else 0.0)
+        csv_path = pred_dir / "scores.csv"
+        if csv_path.is_file() and names:
+            df = pd.read_csv(csv_path)
+            extra = pd.DataFrame({"test image": names, **cols})
+            df = df.merge(extra, on="test image", how="left")
+            df.to_csv(csv_path, header=True, index=False)
+        return {m: float(np.mean(v)) if v else 0.0
+                for m, v in cols.items()}
 
     def _calc_scores(self, prediction_path: Path, test_set_path: Path,
                      label_type: str):

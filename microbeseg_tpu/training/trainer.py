@@ -211,22 +211,22 @@ class Trainer:
         # thousands of per-op dispatches — minutes over the device tunnel)
         rng = jax.random.PRNGKey(cfg.seed + (1 if second_run else 0))
         init_key, shuffle_seed = jax.random.split(rng)
-        if second_run:  # resume from the best checkpoint (reference :240-242)
-            if init_vars is not None:
-                # fresh copies: these params enter train_step's donation
-                # cycle, and the caller's snapshot must stay valid
-                p, bs = self._copy_vars(init_vars[0], init_vars[1])
-                variables = {"params": p}
-                if bs:
-                    variables["batch_stats"] = bs
-            else:
-                from microbeseg_tpu.models.io import (load_checkpoint,
-                                                      variables_template)
-                variables = load_checkpoint(
-                    variables_template(self.model,
-                                       (data.crop_size, data.crop_size),
-                                       ch_in=cfg.model.ch_in),
-                    self.path_models / f"{cfg.run_name}.ckpt")
+        if init_vars is not None:
+            # fine-tune / second-run warm start.  Fresh copies: these params
+            # enter train_step's donation cycle, and the caller's snapshot
+            # must stay valid
+            p, bs = self._copy_vars(init_vars[0], init_vars[1])
+            variables = {"params": p}
+            if bs:
+                variables["batch_stats"] = bs
+        elif second_run:  # resume from the best checkpoint (reference :240-242)
+            from microbeseg_tpu.models.io import (load_checkpoint,
+                                                  variables_template)
+            variables = load_checkpoint(
+                variables_template(self.model,
+                                   (data.crop_size, data.crop_size),
+                                   ch_in=cfg.model.ch_in),
+                self.path_models / f"{cfg.run_name}.ckpt")
         else:
             from microbeseg_tpu.models.io import init_variables
             sample = jnp.zeros((1, data.crop_size, data.crop_size,
@@ -617,9 +617,13 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def fit(self, data: TrainingData, print_output: bool = False,
-            resume: bool = False) -> float:
+            resume: bool = False, init_from: Optional[Path] = None) -> float:
+        """Run the full two-phase schedule.  ``init_from`` warm-starts the
+        first run from an existing checkpoint stem (fine-tuning — beyond
+        reference, which always trains from scratch: train.py:206-228);
+        ignored when ``resume`` latches onto a matching snapshot."""
         try:
-            return self._fit(data, print_output, resume)
+            return self._fit(data, print_output, resume, init_from)
         finally:
             # drop pinned HBM even when train() raises (OOM ladder,
             # callback errors, transport failures) — a failed Trainer held
@@ -628,7 +632,7 @@ class Trainer:
             self._release_device_cache()
 
     def _fit(self, data: TrainingData, print_output: bool,
-             resume: bool) -> float:
+             resume: bool, init_from: Optional[Path] = None) -> float:
         import dataclasses
         if self.cfg.max_epochs is None:
             self.cfg = dataclasses.replace(
@@ -662,7 +666,18 @@ class Trainer:
                 self._drop_train_state()
             return best
 
-        best = self.train(data, print_output=print_output, resume=resume)
+        warm = None
+        if init_from is not None and (not resume or host is None):
+            from microbeseg_tpu.models.io import (load_checkpoint,
+                                                  variables_template)
+            v = load_checkpoint(
+                variables_template(self.model,
+                                   (data.crop_size, data.crop_size),
+                                   ch_in=cfg.model.ch_in),
+                Path(init_from).with_suffix(".ckpt"))
+            warm = (v["params"], v.get("batch_stats", {}))
+        best = self.train(data, print_output=print_output, resume=resume,
+                          init_vars=warm)
         extra: Dict = dict(getattr(self, "_timing", {}))
         # the main run's best weights, still on device — the fine-tune phase
         # and recalibration reuse them instead of re-uploading the 186 MB

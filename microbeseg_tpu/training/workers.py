@@ -83,10 +83,14 @@ def run_training(path_data: Path, path_models: Path, label_type: str,
                  normalization: str = "gn",
                  max_epochs: Optional[int] = None,
                  train_state_every: int = 0,
-                 resume: bool = False) -> bool:
+                 resume: bool = False,
+                 pretrained: Optional[Path] = None) -> bool:
     """Train `iterations` models (reference TrainWorker.start_training,
     train.py:124-306): per-iteration unique run names, act-fun tied to the
     optimizer (mish <-> ranger, relu <-> adam; reference :174), OOM ladder.
+
+    pretrained: checkpoint stem to warm-start each iteration's first run
+    from (fine-tuning; beyond reference — it always trains from scratch).
 
     normalization: default 'gn' — a documented deviation from the reference's
     hard-coded 'bn' (train.py:187).  BatchNorm running statistics diverge
@@ -146,7 +150,8 @@ def run_training(path_data: Path, path_models: Path, label_type: str,
                                   int((p + 100 * i) / iterations)))
             try:
                 trainer.fit(data, print_output=print_output,
-                            resume=resume and i == 0)
+                            resume=resume and i == 0,
+                            init_from=pretrained)
                 break
             except Exception as exc:  # OOM ladder (reference :276-297)
                 if not _is_oom(exc):

@@ -274,6 +274,62 @@ class TestAugment:
         assert np.all(np.abs(mine - ref) < 0.002 * span)
 
 
+class TestFinetuneInit:
+    def test_fit_init_from_warm_starts_first_run(self, tmp_path, rng):
+        """fit(init_from=stem) loads the checkpoint into the FIRST run's
+        init (fine-tuning, beyond reference) — captured via train()."""
+        from microbeseg_tpu.config import ModelConfig, TrainConfig
+        from microbeseg_tpu.models.io import (load_checkpoint, save_checkpoint,
+                                              variables_template)
+        from microbeseg_tpu.training.data import SplitArrays, TrainingData
+        from microbeseg_tpu.training.trainer import Trainer
+
+        n, size = 4, 16
+        images = rng.integers(0, 65535, (n, size, size, 1)).astype(np.float32)
+        labels = {
+            "border_label": rng.random((n, size, size, 1)).astype(np.float32),
+            "cell_label": rng.random((n, size, size, 1)).astype(np.float32)}
+        split = SplitArrays(images=images, labels=labels,
+                            ids=[str(i) for i in range(n)])
+        data = TrainingData(train=split, val=split, crop_size=size)
+        cfg = TrainConfig(
+            model=ModelConfig(filters=(8, 16), act_fun="relu",
+                              normalization="gn"),
+            optimizer="adam", batch_size=4, run_name="distance_model_01",
+            max_epochs=20, compute_dtype="float32", seed=5)
+
+        # make a "pretrained" checkpoint with recognizable constant leaves
+        template = variables_template(
+            Trainer(cfg, tmp_path / "a").model, (size, size), ch_in=1)
+        marked = jax.tree.map(
+            lambda x: jnp.full_like(x, 0.125), template["params"])
+        save_checkpoint({"params": marked}, tmp_path / "pre.ckpt")
+
+        captured = {}
+        t = Trainer(cfg, tmp_path / "b")
+        orig_train = t.train
+
+        def spy(data, best_loss=1e4, print_output=False, resume=False,
+                init_vars=None):
+            if best_loss >= 1e3:  # first run only
+                captured["init_vars"] = init_vars
+                t.stopped = True  # skip the actual training loop
+                return 1e4
+            return orig_train(data, best_loss, print_output, resume,
+                              init_vars)
+
+        t.train = spy
+        t.fit(data, init_from=tmp_path / "pre")
+        assert captured["init_vars"] is not None
+        got = captured["init_vars"][0]
+        ref = load_checkpoint({"params": template["params"]},
+                              tmp_path / "pre.ckpt")["params"]
+        assert jax.tree.structure(got) == jax.tree.structure(ref)
+        flat = jax.tree.leaves(got)
+        assert all(float(jnp.max(jnp.abs(leaf - 0.125))) == 0.0
+                   for leaf in flat)
+
+
 class TestTrainStateResume:
     def test_interrupted_run_resumes_bit_identically(self, tmp_path, rng):
         """A run interrupted after 2 epochs and resumed from its training
