@@ -8,8 +8,11 @@ chip, the engine and its compiled executables, and segments request
 payloads at steady-state speed (flagship first-request compile ~25 s at
 2048^2, then ~1 s/frame; 256^2 crops at ~690/s — docs/E2E_RESULTS.md).
 
-Protocol (stdlib http.server; single-threaded on purpose — one process
-owns one chip, so requests serialize at the engine anyway):
+Protocol (stdlib http.server, threaded with a device lock: one process
+owns one chip, so the ENGINE section serializes — but request decode and
+response encode run on per-request threads, overlapping another
+request's device compute exactly like the pipelined host leg of
+client/workers.infer_dataset, 1.59x measured there):
 
   GET  /healthz             -> 200 JSON {model, label_type, ...}
   POST /segment             -> uint16 instance masks
@@ -31,7 +34,9 @@ from __future__ import annotations
 import argparse
 import io
 import json
-from http.server import BaseHTTPRequestHandler, HTTPServer
+import threading
+from http.server import (BaseHTTPRequestHandler, HTTPServer,
+                         ThreadingHTTPServer)
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
@@ -113,6 +118,10 @@ def encode_masks(masks: np.ndarray, fmt: str) -> tuple[bytes, str]:
 
 def make_handler(engine: InferenceEngine, model_info: dict,
                  max_body_bytes: int = 512 * 1024 * 1024):
+    # one chip, one engine: the device section serializes here while
+    # decode/encode of other requests proceed on their own threads
+    engine_lock = threading.Lock()
+
     class Handler(BaseHTTPRequestHandler):
         # bound socket reads: a client that connects and never sends a
         # request would otherwise wedge the single-threaded daemon
@@ -182,8 +191,9 @@ def make_handler(engine: InferenceEngine, model_info: dict,
                 self._json(400, {"error": str(exc)})
                 return
             try:
-                masks = engine.segment(stack, th_cell=th_cell,
-                                       th_seed=th_seed)
+                with engine_lock:
+                    masks = engine.segment(stack, th_cell=th_cell,
+                                           th_seed=th_seed)
                 masks = masks if masks.ndim == 3 else masks[None]
                 payload, ctype = encode_masks(masks, fmt)
             except Exception as exc:
@@ -200,10 +210,20 @@ def make_handler(engine: InferenceEngine, model_info: dict,
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # worker threads must not block interpreter exit on a hung client
+    daemon_threads = True
+
+
 def serve(engine: InferenceEngine, model_info: dict, host: str, port: int,
-          server_cls=HTTPServer,
+          server_cls=_Server,
           max_body_bytes: int = 512 * 1024 * 1024) -> HTTPServer:
-    """Build the HTTP server (caller runs serve_forever / shutdown)."""
+    """Build the HTTP server (caller runs serve_forever / shutdown).
+
+    Threaded: concurrent clients decode/encode in parallel while the
+    engine lock serializes the device section (single-client latency is
+    unchanged; concurrent steady-state throughput approaches the device
+    leg — measured row in docs/E2E_RESULTS.md)."""
     return server_cls((host, port),
                       make_handler(engine, model_info, max_body_bytes))
 

@@ -99,6 +99,24 @@ def make_training_data(rng, n: int, size: int):
     return TrainingData(train=split, val=split, crop_size=size)
 
 
+def make_training_data_boundary(rng, n: int, size: int):
+    """TrainingData for the 3-class boundary method (labels via the oracle
+    re-implementation of reference train_data_representations.py:80-118)."""
+    from microbeseg_tpu.training.data import SplitArrays, TrainingData
+    from tests.oracles import boundary_label_oracle
+
+    images, labels = [], []
+    for _ in range(n):
+        img, mask = blob_sample(rng, size)
+        images.append(img.astype(np.float32))
+        labels.append(boundary_label_oracle(mask).astype(np.int32))
+    split = SplitArrays(
+        images=np.stack(images)[..., None].astype(np.float32),
+        labels={"label": np.stack(labels)[..., None]},
+        ids=[str(i) for i in range(n)])
+    return TrainingData(train=split, val=split, crop_size=size)
+
+
 # ---------------------------------------------------------------------------
 # Checkpoint plumbing
 # ---------------------------------------------------------------------------
@@ -138,7 +156,28 @@ def train_tiny(work: Path, rng, size: int = 64, n_train: int = 8,
     return models / cfg.run_name
 
 
-def to_reference_and_back(stem: Path, work: Path):
+def train_tiny_boundary(work: Path, rng, size: int = 64, n_train: int = 8,
+                        epochs: int = 30, filters=(8, 16), seed: int = 3,
+                        normalization: str = "gn") -> Path:
+    """Train a tiny 3-class 'U' boundary model (reference method #2:
+    train.py:187 'boundary' + ce_dice); returns the checkpoint stem."""
+    from microbeseg_tpu.config import ModelConfig, TrainConfig
+    from microbeseg_tpu.training.trainer import Trainer
+
+    cfg = TrainConfig(
+        model=ModelConfig(unet_type="U", ch_out=3,
+                          filters=tuple(filters), act_fun="relu",
+                          normalization=normalization),
+        label_type="boundary", loss="ce_dice",
+        optimizer="adam", batch_size=4, run_name="parity_boundary_01",
+        max_epochs=max(epochs, 20), compute_dtype="float32", seed=seed)
+    data = make_training_data_boundary(rng, n_train, size)
+    models = work / "models"
+    Trainer(cfg, models).fit(data)
+    return models / cfg.run_name
+
+
+def to_reference_and_back(stem: Path, work: Path, label_type="distance"):
     """Our ckpt -> reference .pth (+json) -> reimported ckpt.  Returns
     (pth_path, reimported_stem, ModelConfig)."""
     from microbeseg_tpu.config import ModelConfig, read_sidecar
@@ -149,18 +188,19 @@ def to_reference_and_back(stem: Path, work: Path):
     ckpt = import_torch_checkpoint(pth, work / "reimported")
     sidecar = read_sidecar(stem.parent / f"{stem.name}.json")
     mcfg = ModelConfig.from_architecture(sidecar["architecture"],
-                                         label_type="distance")
+                                         label_type=label_type)
     return pth, ckpt.with_suffix(""), mcfg
 
 
 def torch_net_from_pth(pth: Path, mcfg):
     import torch
 
-    from tests.test_torch_import import _TorchDUNet
+    from tests.test_torch_import import _TorchDUNet, _TorchUNet
 
-    net = _TorchDUNet(ch_in=mcfg.ch_in, ch_out=mcfg.ch_out,
-                      pool=mcfg.pool_method, act=mcfg.act_fun,
-                      kind=mcfg.normalization, filters=mcfg.filters)
+    cls = _TorchUNet if mcfg.unet_type == "U" else _TorchDUNet
+    net = cls(ch_in=mcfg.ch_in, ch_out=mcfg.ch_out,
+              pool=mcfg.pool_method, act=mcfg.act_fun,
+              kind=mcfg.normalization, filters=mcfg.filters)
     net.load_state_dict(torch.load(pth, map_location="cpu"))
     return net.eval()
 
@@ -197,6 +237,31 @@ def reference_chain(net, frames: np.ndarray, th_seed: float,
             cell = cell.numpy()[0, 0, pads[0]:, pads[1]:]
             masks.append(distance_postprocessing_oracle(
                 border, cell, th_seed, th_cell))
+    return np.stack(masks)
+
+
+def reference_chain_boundary(net, frames: np.ndarray) -> np.ndarray:
+    """Reference per-frame boundary loop: normalize -> pad -> torch batch-1
+    forward -> channel softmax -> crop pads -> oracle boundary
+    post-processing (reference postprocessing.py:62-90; no thresholds)."""
+    import torch
+
+    from microbeseg_tpu.utils.image import (min_max_normalization,
+                                            zero_pad_model_input)
+    from tests.oracles import boundary_postprocessing_oracle
+
+    masks = []
+    with torch.no_grad():
+        for frame in frames:
+            mn, mx = float(frame.min()), float(frame.max())
+            padded, pads = zero_pad_model_input(frame.astype(np.float32),
+                                                pad_val=mn)
+            img = min_max_normalization(padded, mn, mx)
+            logits = net(torch.from_numpy(img[None, None].copy()))
+            probs = torch.softmax(logits, dim=1).numpy()[0]
+            probs = probs[:, pads[0]:, pads[1]:]           # (3, H, W)
+            masks.append(boundary_postprocessing_oracle(
+                np.moveaxis(probs, 0, -1)))
     return np.stack(masks)
 
 
@@ -282,6 +347,45 @@ def run_gate(work: Path, seed: int = 0, crop: int = 64, frame: int = 128,
     return out
 
 
+def run_gate_boundary(work: Path, seed: int = 0, crop: int = 64,
+                      frame: int = 128, n_frames: int = 4,
+                      epochs: int = 30, filters=(8, 16),
+                      dtype: str = "float32",
+                      normalization: str = "gn") -> dict:
+    """Boundary-method composed gate (VERDICT r4 item 6): train a 3-class
+    'U' model -> export .pth -> reimport -> torch+oracle chain vs full
+    engine.segment.  No threshold grid (reference postprocessing.py:62-90);
+    dense leg only."""
+    from microbeseg_tpu.config import InferConfig
+    from tests.oracles import masks_iou
+
+    if dtype == "float32":
+        import jax
+        jax.config.update("jax_default_matmul_precision", "highest")
+    work = Path(work)
+    rng = np.random.default_rng(seed)
+    stem = train_tiny_boundary(work, rng, size=crop, epochs=epochs,
+                               filters=filters, seed=seed + 3,
+                               normalization=normalization)
+    pth, reimported, mcfg = to_reference_and_back(stem, work,
+                                                  label_type="boundary")
+    net = torch_net_from_pth(pth, mcfg)
+    frames = np.stack(
+        [blob_sample(rng, frame, n_blobs=14)[0] for _ in range(n_frames)])
+    ref = reference_chain_boundary(net, frames)
+    dense = engine_masks(reimported, frames, dtype, InferConfig())
+    out = {
+        "method": "boundary",
+        "n_instances_ref": [int(len(np.unique(m)) - 1) for m in ref],
+        "iou_dense": [float(masks_iou(r, d)) for r, d in zip(ref, dense)],
+        "dtype": dtype,
+        "frames": list(frames.shape),
+    }
+    out["min_iou"] = min(out["iou_dense"])
+    out["mean_iou"] = float(np.mean(out["iou_dense"]))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--work", default="/tmp/parity_gate")
@@ -301,13 +405,23 @@ def main():
                          "windows, so tiled quality is measured against the "
                          "DENSE truth at production scale instead — "
                          "docs/PARITY.md)")
+    ap.add_argument("--method", default="distance",
+                    choices=("distance", "boundary"),
+                    help="which reference method to gate (boundary: 3-class "
+                         "'U' + boundary_postprocessing, dense leg only)")
     args = ap.parse_args()
 
-    res = run_gate(Path(args.work), seed=args.seed, frame=args.frame,
-                   n_frames=args.n_frames, epochs=args.epochs,
-                   dtype=args.dtype, tile_size=128, tile_overlap=32,
-                   reuse=args.reuse, normalization=args.normalization,
-                   tiled=not args.dense_only)
+    if args.method == "boundary":
+        res = run_gate_boundary(Path(args.work), seed=args.seed,
+                                frame=args.frame, n_frames=args.n_frames,
+                                epochs=args.epochs, dtype=args.dtype,
+                                normalization=args.normalization)
+    else:
+        res = run_gate(Path(args.work), seed=args.seed, frame=args.frame,
+                       n_frames=args.n_frames, epochs=args.epochs,
+                       dtype=args.dtype, tile_size=128, tile_overlap=32,
+                       reuse=args.reuse, normalization=args.normalization,
+                       tiled=not args.dense_only)
     res["pass"] = bool(res["min_iou"] >= 0.99
                        and all(n > 0 for n in res["n_instances_ref"]))
     print(json.dumps(res, indent=1))

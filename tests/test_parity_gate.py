@@ -41,3 +41,78 @@ class TestComposedParityGate:
         # non-vacuity: the frames must actually contain instances
         assert all(n >= 5 for n in res["n_instances_ref"]), res
         assert res["min_iou"] >= 0.99, res
+
+
+class _AnalyticLocalModel:
+    """Frozen-stat gate vehicle for the TILED leg (VERDICT r4 item 5): the
+    'model' is a fixed 5x5 box blur of the input — translation-local with
+    a receptive field far below the tile overlap, and with NO training
+    noise (tiny trained bn vehicles converge to spurious-seed-noisy fields:
+    measured tiled-vs-dense 0.86-0.97 across seeds, docs/E2E_RESULTS.md).
+    A local model makes tiled-vs-dense a pure PIPELINE gate: per-frame
+    fused pre-processing, tile carving, feathered stitching and the
+    post-processing are exactly what differ between the two paths; the
+    trained-model leg of the composed gate covers the network itself."""
+
+    def apply(self, variables, images, train=False):
+        import jax.numpy as jnp
+        from jax import lax
+
+        x01 = (images + 1.0) / 2.0  # (B, H, W, 1)
+        k = jnp.ones((5, 5, 1, 1), x01.dtype) / 25.0
+        cell = lax.conv_general_dilated(
+            x01, k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.zeros_like(cell), cell
+
+
+class TestTiledParityGate:
+    def test_tiled_equals_dense_full_engine(self, rng):
+        """Composed tiled leg: full engine dense vs full engine tiled on the
+        same frames, masks IoU >= 0.99 per frame with instances present.
+        Composes transitively with the trained-checkpoint dense leg above
+        (reference chain ~ dense ~ tiled).  The reference stubs sliding
+        windows (infer.py:60-61); production-scale tiled-vs-dense on the
+        flagship is measured separately (0.9948, docs/PARITY.md)."""
+        import numpy as np
+
+        from microbeseg_tpu.config import InferConfig
+        from microbeseg_tpu.inference.engine import InferenceEngine
+        from tests.oracles import masks_iou
+        from tests.test_inference import _frames_from_blobs
+
+        frames = _frames_from_blobs(rng, n=3, shape=(160, 144))
+        model = _AnalyticLocalModel()
+        dense = InferenceEngine(model, {}, "distance",
+                                cfg=InferConfig(batch_size=4)
+                                ).segment(frames)
+        tiled = InferenceEngine(model, {}, "distance",
+                                cfg=InferConfig(batch_size=4,
+                                                use_tiling=True,
+                                                tile_size=64,
+                                                tile_overlap=16)
+                                ).segment(frames)
+        counts = [int(len(np.unique(m)) - 1) for m in dense]
+        assert all(n >= 3 for n in counts), counts
+        ious = [float(masks_iou(d, t)) for d, t in zip(dense, tiled)]
+        assert min(ious) >= 0.99, (ious, counts)
+
+
+class TestBoundaryParityGate:
+    def test_boundary_reference_chain_vs_full_engine(self, tmp_path):
+        """Boundary-method composed leg (VERDICT r4 item 6): 3-class 'U'
+        checkpoint -> .pth export -> reimport -> torch batch-1 + oracle
+        boundary_postprocessing (reference postprocessing.py:62-90) vs the
+        full engine.segment.  Measured 1.0 on both prototype seeds."""
+        from scripts.parity_gate import run_gate_boundary
+
+        pytest.importorskip("torch")
+        prev = jax.config.jax_default_matmul_precision
+        try:
+            res = run_gate_boundary(tmp_path, seed=0, crop=64, frame=128,
+                                    n_frames=2, epochs=60,
+                                    dtype="float32", normalization="gn")
+        finally:
+            jax.config.update("jax_default_matmul_precision", prev)
+        assert all(n >= 5 for n in res["n_instances_ref"]), res
+        assert res["min_iou"] >= 0.99, res

