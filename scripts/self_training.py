@@ -239,6 +239,13 @@ def main(argv=None) -> int:
     p.add_argument("--finetune", action="store_true",
                    help="warm-start each student from the previous teacher "
                         "checkpoint instead of scratch")
+    p.add_argument("--teachers", nargs="+", default=None,
+                   help="override the round-1 teacher checkpoint stem(s) "
+                        "(e.g. a prior run's student, to continue the loop "
+                        "without replaying earlier rounds; pair with "
+                        "--th_cell/--th_seed from that run's thsel_next)")
+    p.add_argument("--start_round", type=int, default=1,
+                   help="numbering offset for continued runs (labels only)")
     p.add_argument("--out", default="/tmp/selftrain")
     args = p.parse_args(argv)
 
@@ -266,8 +273,8 @@ def main(argv=None) -> int:
         th_cell, th_seed = select_round1_thresholds(out, log)
     report["round1_thresholds"] = [th_cell, th_seed]
 
-    teachers = [str(t) for t in TEACHERS]
-    for r in range(1, args.rounds + 1):
+    teachers = [str(t) for t in (args.teachers or TEACHERS)]
+    for r in range(args.start_round, args.start_round + args.rounds):
         log(f"=== round {r}: teacher={teachers}, "
             f"th=({th_cell}, {th_seed}) ===")
         pseudo, base, kept, dropped = pseudo_label(
