@@ -70,7 +70,7 @@ class TestOOMLadder:
             def __init__(self, cfg, path_models, **kw):
                 seen.append((cfg.batch_size, cfg.model.filters))
 
-            def fit(self, data, print_output=False, resume=False):
+            def fit(self, data, print_output=False, resume=False, **kw):
                 raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
 
         monkeypatch.setattr(workers, "Trainer", FakeTrainer)
@@ -92,7 +92,7 @@ class TestOOMLadder:
             def __init__(self, cfg, path_models, **kw):
                 pass
 
-            def fit(self, data, print_output=False, resume=False):
+            def fit(self, data, print_output=False, resume=False, **kw):
                 raise ValueError("some bug")
 
         monkeypatch.setattr(workers, "Trainer", FakeTrainer)
