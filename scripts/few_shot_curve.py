@@ -126,7 +126,11 @@ def main(argv=None) -> int:
             ev = Evaluator(EvalConfig(th_seeds=(0.35, 0.45, 0.55, 0.65,
                                                 0.75)),
                            text_output=lambda m: None)
-            df = ev.evaluate(test_set, out / "eval", [models / run])
+            # one results dir PER RUN: Evaluator aggregates all rows of a
+            # results dir into one csv and a shared dir would let a prior
+            # run's better row win the .iloc[0] selection below
+            df = ev.evaluate(test_set, out / "eval" / run, [models / run])
+            df = df[df["model"].str.endswith(f": {run}")]
             best = df.sort_values("aji+ (mean)", ascending=False).iloc[0]
             row = {"n": n, "arm": arm,
                    "aji_mean": float(best["aji+ (mean)"]),
