@@ -88,6 +88,8 @@ def main(argv=None) -> int:
                    default=[1, 3, 5, 10, 20, 35])
     p.add_argument("--epochs", type=int, default=60)
     p.add_argument("--arms", nargs="+", default=["scratch", "finetune"])
+    p.add_argument("--seed", type=int, default=0,
+                   help="training seed (repeat a point to bound run noise)")
     p.add_argument("--out", default="/tmp/fewshot")
     args = p.parse_args(argv)
 
@@ -118,7 +120,7 @@ def main(argv=None) -> int:
             cfg = TrainConfig(
                 model=ModelConfig(act_fun="mish", normalization="gn"),
                 optimizer="ranger", batch_size=8, run_name=run,
-                max_epochs=max(args.epochs, 20))
+                max_epochs=max(args.epochs, 20), seed=args.seed)
             models = out / "models" / trainset.name
             Trainer(cfg, models, text_output=lambda m: None).fit(
                 data,
