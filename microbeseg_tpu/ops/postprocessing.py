@@ -21,23 +21,8 @@ from microbeseg_tpu.ops.filters import gaussian_filter
 from microbeseg_tpu.ops.watershed import watershed, watershed_fast
 
 
-# element budget for one one-hot chunk of the seed-histogram matmuls:
-# 64K pixels * 257 ids * 2 B (bf16) = 33 MB of VMEM-streamable intermediate.
-# A single full-frame one-hot is fine at crop sizes but would need ~2.2 GB
-# at 2048^2 (segment() post-processes at FULL frame resolution even when
-# tiling only the forward pass), so larger frames — or larger seed caps —
-# stream the same MXU contraction over pixel chunks via lax.scan.  The
-# chunk's pixel count shrinks as the cap grows so the budget holds for the
-# area-scaled caps the engine uses on big frames.
-_ONEHOT_ELEMS = 256 * 256 * 257
-
-
-def _onehot_chunk(cap: int) -> int:
-    return max(512, _ONEHOT_ELEMS // (cap + 1))
-
-
 def _prune_radix(rank: jnp.ndarray, cap: int, min_area_floor: float,
-                 rel_mean: float) -> jnp.ndarray:
+                 rel_mean: float, out_cap: int = None) -> jnp.ndarray:
     """Area histogram + compacting remap for large id capacities, MXU-only.
 
     Built on ``ops/radix.py`` (id = hi*256 + lo decomposition: histogram
@@ -45,6 +30,9 @@ def _prune_radix(rank: jnp.ndarray, cap: int, min_area_floor: float,
     scatter-add/gather traffic measured at ~66 ms/2048^2, ~280 ms/4096^2).
     All selections are exact: one-hot rows are 0/1, per-pixel products
     pick a single table entry, and new ids (< 2^24) are exact in f32.
+
+    ``out_cap``: survivors compacted beyond this id are dropped (the
+    static label capacity of the downstream flood); None keeps all.
     """
     from microbeseg_tpu.ops.radix import radix_histogram, radix_lookup
 
@@ -55,8 +43,10 @@ def _prune_radix(rank: jnp.ndarray, cap: int, min_area_floor: float,
     min_area = jnp.where(n > 0, rel_mean * mean_area, 0.0)
     min_area = jnp.maximum(min_area, min_area_floor)
     kept = areas > min_area
-    table = (jnp.cumsum(kept.astype(jnp.int32)) * kept).astype(jnp.float32)
-    return radix_lookup(rank, table).astype(jnp.int32)
+    table = jnp.cumsum(kept.astype(jnp.int32)) * kept
+    if out_cap is not None:
+        table = jnp.where(table > out_cap, 0, table)
+    return radix_lookup(rank, table.astype(jnp.float32)).astype(jnp.int32)
 
 
 def _prune_small_seeds(seeds_bin: jnp.ndarray, min_area_floor: float,
@@ -66,18 +56,31 @@ def _prune_small_seeds(seeds_bin: jnp.ndarray, min_area_floor: float,
 
     TPU-native path: CC ids are sequentialized gather-free (root rank
     flooding), then component areas, the prune decision, AND the compact
-    renumbering all ride (pixels, max_seeds+1) one-hot matmul pairs on the
-    MXU — per-element scatter/gather histograms cost ~0.4 ms per 65K elements
-    on this hardware (scripts/microbench_gather.py) while these matmuls are
-    ~free.  Because the surviving ids come out compacted to 1..n, the
-    watershed output needs no relabel pass afterwards.
+    renumbering ride the radix-matmul histogram/lookup of ``ops/radix.py``
+    on the MXU — per-element scatter/gather histograms cost ~0.4 ms per
+    65K elements on this hardware (scripts/microbench_gather.py) while
+    these matmuls are MXU-pad-bound and ~free at crop sizes.  Because the
+    surviving ids come out compacted to 1..n, the watershed output needs
+    no relabel pass afterwards.
 
-    Components ranked beyond ``max_seeds`` are dropped (the reference caps
-    instance counts identically downstream).
+    SURVIVORS compacted beyond ``max_seeds`` are dropped (the downstream
+    flood's static label capacity; the engine scales it with frame area).
+    The AREA pass itself runs with ``raw_cap`` = 4x headroom (min 1024):
+    speckle components commonly outnumber real seeds on noisy fields, and
+    the earlier design capped the RAW raster-order component ranks at
+    ``max_seeds`` before the area prune, silently deleting real cells
+    whose rank fell beyond the cap (round-5 on-chip boundary-gate
+    incident: 328 raw components at cap 256 dropped 4 of 12 true seeds).
+    The reference never rank-caps — it prunes by area over ALL components
+    (postprocessing.py:33-38, :81-85), and the mean-area term therefore
+    also includes speckle, which this matches.  Raw components beyond
+    raw_cap would still drop silently — at default that needs one
+    component per 64 px, a field with no usable segmentation anyway.
     """
     rank = sequentialize_components(connected_components(seeds_bin))
     cap = max_seeds
-    rank = jnp.where(rank > cap, 0, rank)  # beyond-capacity components drop
+    raw_cap = min(max(4 * cap, 1024), (1 << 24) - 1)
+    rank = jnp.where(rank > raw_cap, 0, rank)
 
     # Large caps (area-scaled full-frame post-processing): a single one-hot
     # would be O(pixels * cap) VPU compares — at 2048^2 with a 16K cap that
@@ -89,53 +92,12 @@ def _prune_small_seeds(seeds_bin: jnp.ndarray, min_area_floor: float,
     # decomposition below (id = hi*256 + lo) keeps everything on the MXU:
     # construction is O(pixels * (256 + cap/256)) compares and both the
     # histogram and the remap become pixel-chunked matmuls.  Measured at
-    # 2048^2 cap 16384: 66 -> 8 ms (bit-identical outputs, tested).
-    if cap > 256:
-        return _prune_radix(rank, cap, min_area_floor, rel_mean)
-
-    # bf16 represents integers <= 256 exactly; the one-hot rows are 0/1, so
-    # the remap matmul is exact
-    id_dt = jnp.bfloat16
-
-    n_pix = rank.size
-    chunk = _onehot_chunk(cap)
-    if n_pix <= chunk:
-        oh = jax.nn.one_hot(rank, cap + 1, dtype=jnp.bfloat16)
-        ones = jnp.ones(rank.shape, jnp.bfloat16)
-        areas = jnp.einsum("hwn,hw->n", oh, ones,
-                           preferred_element_type=jnp.float32)
-    else:
-        pad = (-n_pix) % chunk  # padded 0s land in id 0, zeroed below
-        chunks = jnp.pad(rank.reshape(-1), (0, pad)).reshape(-1, chunk)
-        ones = jnp.ones((chunk,), jnp.bfloat16)
-
-        def hist_body(acc, c):
-            oh_c = jax.nn.one_hot(c, cap + 1, dtype=jnp.bfloat16)
-            return acc + jnp.einsum("pn,p->n", oh_c, ones,
-                                    preferred_element_type=jnp.float32), None
-
-        areas, _ = jax.lax.scan(hist_body,
-                                jnp.zeros((cap + 1,), jnp.float32), chunks)
-    areas = areas.at[0].set(0.0)
-    n = jnp.sum(areas > 0)
-    mean_area = jnp.sum(areas) / jnp.maximum(n, 1)
-    min_area = jnp.where(n > 0, rel_mean * mean_area, 0.0)
-    min_area = jnp.maximum(min_area, min_area_floor)
-    kept = areas > min_area                       # (cap+1,)
-    newid = (jnp.cumsum(kept.astype(jnp.int32)) * kept).astype(id_dt)
-
-    if n_pix <= chunk:
-        out = jnp.einsum("hwn,n->hw", oh, newid,
-                         preferred_element_type=jnp.float32)
-        return out.astype(jnp.int32)
-
-    def remap_body(_, c):
-        oh_c = jax.nn.one_hot(c, cap + 1, dtype=jnp.bfloat16)
-        return None, jnp.einsum("pn,n->p", oh_c, newid,
-                                preferred_element_type=jnp.float32)
-
-    _, out = jax.lax.scan(remap_body, None, chunks)
-    return out.reshape(-1)[:n_pix].reshape(rank.shape).astype(jnp.int32)
+    # 2048^2 cap 16384: 66 -> 8 ms (bit-identical outputs, tested).  The
+    # raw_cap headroom routes every call here (raw_cap >= 1024): radix
+    # cost is MXU-pad-bound at P x 256 x 128 regardless of cap
+    # (E2E_RESULTS radix ceiling analysis), ~tens of us at 256^2.
+    return _prune_radix(rank, raw_cap, min_area_floor, rel_mean,
+                        out_cap=cap)
 
 
 @partial(jax.jit, static_argnames=("max_seeds", "n_levels", "method"))

@@ -75,23 +75,32 @@ class TestBoundaryPostprocessing:
 
 
 class TestChunkedSeedPrune:
-    def test_large_frame_chunked_path_matches_direct(self, rng, monkeypatch):
-        """Frames beyond _ONEHOT_CHUNK pixels stream the seed histogram /
-        remap over row chunks (ADVICE r2: the full one-hot would need ~2.2 GB
-        at 2048^2); the chunked contraction must be bit-identical to the
-        direct one-hot path."""
+    def test_speckle_beyond_cap_does_not_drop_real_seeds(self):
+        """Round-5 on-chip boundary-gate incident: the prune used to cap
+        RAW raster-order component ranks at max_seeds BEFORE the area
+        prune, so when 1-px speckle outnumbered the cap, real seeds late
+        in raster order were silently deleted (the reference prunes by
+        area over ALL components, postprocessing.py:33-38/:81-85).  600
+        speckles above 3 real seeds must leave exactly the 3 real seeds."""
         import jax.numpy as jnp
 
         import microbeseg_tpu.ops.postprocessing as pp
 
-        seeds = jnp.asarray(synthetic_blobs(rng, shape=(96, 96), n_blobs=9) > 0)
-        direct = np.asarray(pp._prune_small_seeds(
-            seeds, min_area_floor=4.0, rel_mean=0.10))
-        # force the chunked path with a chunk smaller than the frame
-        monkeypatch.setattr(pp, "_ONEHOT_ELEMS", 1024 * 257)
-        chunked = np.asarray(pp._prune_small_seeds(
-            seeds, min_area_floor=4.0, rel_mean=0.10))
-        np.testing.assert_array_equal(direct, chunked)
+        seeds = np.zeros((160, 160), bool)
+        for k in range(600):  # rank-early 1-px speckles, non-adjacent
+            seeds[2 * (k // 75), 2 * (k % 75) + 1] = True
+        real = [(120, 20), (130, 80), (150, 140)]
+        for cy, cx in real:
+            seeds[cy - 2:cy + 3, cx - 2:cx + 3] = True  # 25 px each
+        for rel_mean in (0.0, 0.10):  # boundary / distance configs
+            out = np.asarray(pp._prune_small_seeds(
+                jnp.asarray(seeds), min_area_floor=4.0,
+                rel_mean=rel_mean, max_seeds=256))
+            assert int(out.max()) == 3
+            assert len(np.unique(out)) == 4  # 0 + three real seeds
+            got = {int(out[cy, cx]) for cy, cx in real}
+            assert got == {1, 2, 3}
+            assert out[seeds & (out == 0)].size == 600  # speckles pruned
 
     def test_large_frame_postprocessing_end_to_end(self, rng):
         """distance_postprocessing at a frame size whose pixel count exceeds
